@@ -1,0 +1,80 @@
+"""Domain constants shared by every layer of shortseq_tpu.
+
+Semantics mirror the reference library's constants (see reference
+shortseq/util.pyx:39-75 and the per-width domain getters in
+short_seq_64.pyx:27-28, short_seq_192.pyx:21-22, short_seq_var.pyx:8-10),
+but the representation here is TPU-first: one reference 64-bit block is a
+little-endian pair of uint32 lanes, because TPU vector units operate on
+32-bit lanes.
+"""
+
+# --- Width-class domains (reference short_seq_64.pyx:27-28 etc.) -----------
+MIN_64_NT = 0
+MAX_64_NT = 32
+MIN_192_NT = 33
+MAX_192_NT = 96
+MIN_VAR_NT = 97
+MAX_VAR_NT = 1024
+MAX_REPR_LEN = 75  # reference short_seq_var.pyx:10
+
+# --- Bit layout -------------------------------------------------------------
+# 2-bit codes, LSB-first: nucleotide i of a read lives in 64-bit block
+# (i // 32) at bit offset 2 * (i % 32).  On TPU we store uint32 lanes:
+# nucleotide i -> lane (i // 16), bits 2 * (i % 16).  Reference block b is
+# exactly lanes[2b] | lanes[2b+1] << 32.
+NT_PER_BLOCK = 32          # nts per reference uint64 block (util.pyx:42)
+NT_PER_LANE = 16           # nts per uint32 lane
+LANES_PER_BLOCK = 2
+
+# Lane counts per width bucket.
+LANES_64 = 2               # 1 block
+LANES_192 = 6              # 3 blocks
+LANES_VAR = 64             # 32 blocks = 1024 nt
+
+BLOCKS_64 = 1
+BLOCKS_192 = 3
+BLOCKS_VAR = 32
+
+# --- Encoding ---------------------------------------------------------------
+# code = (ascii >> 1) & 3 reproduces the reference's table_91 / pext-mask
+# encoding exactly for A, C, G, T (and U):  A=00, C=01, T=10, G=11
+# (reference util.pyx:44-52, README "Encoding" table).
+CODE_A, CODE_C, CODE_T, CODE_G = 0, 1, 2, 3
+CHARMAP = ("A", "C", "T", "G")                 # code -> char (util.pyx:52)
+CHARMAP_BYTES = (65, 67, 84, 71)               # ord() of the above
+
+# --- Validation -------------------------------------------------------------
+# 64-bit bloom filter; bit (char & 63) SET means the char is rejected
+# (reference util.pyx:75, util.pxd:98-99).  Of printable ASCII only the
+# uppercase bases A, C, G, T pass.  (The reference's filter also false-passes
+# control bytes 1, 3, 7, 20 and the >=128 aliases 129/131/135/148/193/195/
+# 199/212, for which it then encodes garbage; the device path here rejects
+# those instead - see ops/bitpack.py.)
+BLOOM = 0xFFFFFFFFFFEFFF75
+VALID_BYTES = frozenset(b"ACGT")
+
+UNSUPPORTED_BASE_MSG = "Unsupported base character"
+TOO_LONG_MSG = f"Sequences longer than {MAX_VAR_NT} bases are not supported."
+LENGTH_MISMATCH_MSG = "Hamming distance requires sequences of equal length"
+
+
+def lanes_for_length(length: int) -> int:
+    """Number of uint32 lanes needed for `length` nucleotides."""
+    return -(-length // NT_PER_LANE)
+
+
+def blocks_for_length(length: int) -> int:
+    """Number of reference 64-bit blocks for `length` nucleotides
+    (reference util.pyx:30-33)."""
+    return -(-length // NT_PER_BLOCK)
+
+
+def bucket_lanes(length: int) -> int:
+    """Lane count of the width bucket a read of `length` nts belongs to."""
+    if length <= MAX_64_NT:
+        return LANES_64
+    if length <= MAX_192_NT:
+        return LANES_192
+    if length <= MAX_VAR_NT:
+        return LANES_VAR
+    raise ValueError(TOO_LONG_MSG)

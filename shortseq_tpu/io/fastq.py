@@ -1,0 +1,75 @@
+"""FASTQ ingest: sequence line (2nd of every 4) extraction.
+
+The reference reads with a C getline loop (reference fast_read.pyx:3-40,
+line selection `count % 2 == 0 and count % 4 != 0` = 0-based line index
+% 4 == 1, trailing newline stripped).  Here the host-side parse is
+vectorized numpy over the whole buffer (C speed, no Python loop per line);
+a C++ mmap sharder with byte-range splitting for multi-host runs lives in
+csrc/ and is used when built.
+
+Two consumers:
+  * read_fastq_matrix -> padded uint8 matrix + lengths, feeding the device
+    pack kernel (the throughput path).
+  * read_fastq_seqs   -> list of ShortSeq objects (reference-compatible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _read_bytes(filename) -> bytes:
+    with open(filename, "rb") as f:
+        return f.read()
+
+
+def fastq_line_index(buf: np.ndarray):
+    """Return (starts, ends) byte offsets of every sequence line in a FASTQ
+    buffer (newline excluded)."""
+    nl = np.flatnonzero(buf == 10)
+    if buf.size and (nl.size == 0 or nl[-1] != buf.size - 1):
+        # tolerate a missing final newline
+        nl = np.append(nl, buf.size)
+    starts = np.empty_like(nl)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    seq_starts = starts[1::4]
+    seq_ends = nl[1::4]
+    return seq_starts, seq_ends
+
+
+def read_fastq_matrix(filename, pad_to: int = 16):
+    """Parse a FASTQ file into a zero-padded `[N, L]` uint8 matrix plus
+    `[N]` int32 lengths, L rounded up to a multiple of `pad_to` (static
+    shapes for XLA)."""
+    buf = np.frombuffer(_read_bytes(filename), dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros((0, pad_to), dtype=np.uint8), np.zeros(0, dtype=np.int32)
+    starts, ends = fastq_line_index(buf)
+    lengths = (ends - starts).astype(np.int32)
+    n = len(lengths)
+    if n == 0:
+        return np.zeros((0, pad_to), dtype=np.uint8), lengths
+    max_len = int(lengths.max())
+    width = max(pad_to, -(-max_len // pad_to) * pad_to)
+    offsets = starts[:, None] + np.arange(width)[None, :]
+    mask = np.arange(width)[None, :] < lengths[:, None]
+    mat = np.where(mask, buf[np.minimum(offsets, buf.size - 1)], 0).astype(np.uint8)
+    return mat, lengths
+
+
+def read_fastq_lines(filename):
+    """Sequence lines as a list of bytes (newline stripped)."""
+    data = _read_bytes(filename)
+    if not data:
+        return []
+    lines = data.split(b"\n")
+    return lines[1::4]
+
+
+def read_fastq_seqs(filename):
+    """Sequence lines packed into ShortSeq objects, like the reference's
+    _read_fastq_short_seqs (fast_read.pyx:3-20)."""
+    from ..api import from_bytes
+
+    return [from_bytes(line) for line in read_fastq_lines(filename)]

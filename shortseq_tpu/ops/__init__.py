@@ -1,0 +1,9 @@
+from .bitpack import (
+    pack_words,
+    unpack_ascii,
+    validate,
+    first_bad_byte,
+    pack_and_validate,
+    collapse_xor,
+)
+from .hamming import hamming_rows, hamming_pairwise

@@ -1,0 +1,107 @@
+"""ShortSeqCounter and FASTQ pipeline tests (reference counter.pyx /
+fast_read.pyx semantics; count-multiset parity per
+unit_tests_profiling.py:136)."""
+
+import collections
+import random
+
+import pytest
+
+import shortseq_tpu as sq
+from shortseq_tpu.io.fastq import read_fastq_lines, read_fastq_matrix
+
+
+@pytest.fixture
+def rng():
+    return random.Random(99)
+
+
+def rand_read(rng, lo=15, hi=32):
+    return "".join(rng.choice("ACTG") for _ in range(rng.randint(lo, hi)))
+
+
+def write_fastq(path, reads):
+    with open(path, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@read{i}\n{r}\n+\n{'I' * len(r)}\n".encode())
+
+
+class TestCounter:
+    def test_bytes_list_ingest(self, rng):
+        reads = [rand_read(rng).encode() for _ in range(500)]
+        counts = sq.ShortSeqCounter(reads)
+        oracle = collections.Counter(reads)
+        assert sum(counts.values()) == 500
+        assert sorted(counts.values()) == sorted(oracle.values())
+        for k, v in counts.items():
+            assert oracle[str(k).encode()] == v
+
+    def test_key_type_restriction(self):
+        c = sq.ShortSeqCounter()
+        with pytest.raises(TypeError, match="does not support"):
+            c["ACGT"] = 1
+        with pytest.raises(TypeError, match="does not support"):
+            c[b"ACGT"] = 1
+        c[sq.pack("ACGT")] = 3
+        assert c[sq.pack("ACGT")] == 3
+
+    def test_counter_eq_plain_dict(self):
+        counts = sq.ShortSeqCounter([b"ATGC"] * 10)
+        assert counts == {sq.pack("ATGC"): 10}
+
+    def test_mixed_width_keys(self, rng):
+        reads = ([rand_read(rng, 5, 30).encode() for _ in range(100)]
+                 + [rand_read(rng, 40, 90).encode() for _ in range(100)]
+                 + [rand_read(rng, 100, 300).encode() for _ in range(50)])
+        counts = sq.ShortSeqCounter(reads)
+        oracle = collections.Counter(reads)
+        assert len(counts) == len(oracle)
+        assert sorted(counts.values()) == sorted(oracle.values())
+
+
+class TestFastq:
+    def test_line_extraction(self, tmp_path, rng):
+        reads = [rand_read(rng) for _ in range(100)]
+        path = tmp_path / "t.fastq"
+        write_fastq(path, reads)
+        lines = read_fastq_lines(path)
+        assert [l.decode() for l in lines] == reads
+
+    def test_matrix(self, tmp_path, rng):
+        reads = [rand_read(rng, 5, 60) for _ in range(100)]
+        path = tmp_path / "t.fastq"
+        write_fastq(path, reads)
+        mat, lengths = read_fastq_matrix(path)
+        assert mat.shape[0] == 100
+        assert mat.shape[1] % 16 == 0
+        for i, r in enumerate(reads):
+            assert lengths[i] == len(r)
+            assert mat[i, : len(r)].tobytes() == r.encode()
+            assert not mat[i, len(r):].any()
+
+    def test_missing_final_newline(self, tmp_path):
+        path = tmp_path / "t.fastq"
+        with open(path, "wb") as f:
+            f.write(b"@r0\nACGT\n+\nIIII\n@r1\nGGCC\n+\nIIII")  # no trailing \n
+        assert read_fastq_lines(path) == [b"ACGT", b"GGCC"]
+        mat, lengths = read_fastq_matrix(path)
+        assert list(lengths) == [4, 4]
+        assert mat[1, :4].tobytes() == b"GGCC"
+
+    def test_read_and_count(self, tmp_path, rng, capsys):
+        reads = [rand_read(rng) for _ in range(200)] * 2
+        path = tmp_path / "t.fastq"
+        write_fastq(path, reads)
+        counts = sq.read_and_count_fastq(str(path))
+        oracle = collections.Counter(reads)
+        assert sum(counts.values()) == 400
+        assert sorted(counts.values()) == sorted(oracle.values())
+        out = capsys.readouterr().out
+        assert "total seqs" in out and "unique sequences" in out
+
+    def test_empty_file(self, tmp_path):
+        path = tmp_path / "empty.fastq"
+        path.write_bytes(b"")
+        assert read_fastq_lines(path) == []
+        mat, lengths = read_fastq_matrix(path)
+        assert mat.shape[0] == 0 and len(lengths) == 0

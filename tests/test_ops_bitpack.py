@@ -1,0 +1,133 @@
+"""Device pack/unpack/validate/hamming vs the pure-Python oracle.
+
+The oracle (shortseq_tpu/oracle.py) implements the reference's exact
+bit-level semantics; these tests pin the jnp ops to it, including the
+uint64 -> 2xuint32 lane split.
+"""
+
+import numpy as np
+import pytest
+
+from shortseq_tpu import oracle
+from shortseq_tpu.constants import lanes_for_length
+from shortseq_tpu.ops import (
+    first_bad_byte,
+    hamming_pairwise,
+    hamming_rows,
+    pack_words,
+    unpack_ascii,
+    validate,
+)
+from tests.conftest import rand_sequence
+
+
+def to_matrix(seqs, width_nts):
+    """Pad a list of byte strings into [N, width] uint8 + lengths."""
+    n = len(seqs)
+    mat = np.zeros((n, width_nts), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lengths[i] = len(s)
+    return mat, lengths
+
+
+def oracle_lanes(seqs, n_lanes):
+    out = np.zeros((len(seqs), n_lanes), dtype=np.uint32)
+    for i, s in enumerate(seqs):
+        blocks = oracle.encode_bytes(s)
+        out[i] = oracle.blocks_to_lanes(blocks, n_lanes)
+    return out
+
+
+@pytest.mark.parametrize("max_len", [16, 32, 96, 1024])
+def test_pack_matches_oracle(rng, max_len):
+    seqs = [rand_sequence(rng, rng.randint(1, max_len)).encode() for _ in range(64)]
+    mat, lengths = to_matrix(seqs, max_len if max_len % 16 == 0 else max_len + 16)
+    words = np.asarray(pack_words(mat))
+    expect = oracle_lanes(seqs, words.shape[1])
+    np.testing.assert_array_equal(words, expect)
+
+
+def test_pack_golden_readme():
+    # Frozen vectors from the reference README example (unit_tests_main.py:476)
+    seqs = [
+        b"ATGC",
+        b"TATTAGCGATTGACAGTTGTCCTGTAATAACGCCGGGTAAATTTGCCG",
+        b"TATTACCGATTGACAGTTGTCCTGTAATAACGGCGGGTAAATTTGCTG",
+    ]
+    mat, lengths = to_matrix(seqs, 48)
+    words = np.asarray(pack_words(mat))
+    expect = oracle_lanes(seqs, 3)
+    np.testing.assert_array_equal(words, expect)
+    # ATGC -> codes 0,2,3,1 LSB-first -> 0b01_11_10_00 = 0x78
+    assert words[0, 0] == 0x78 and words[0, 1] == 0
+
+
+def test_roundtrip(rng):
+    seqs = [rand_sequence(rng, rng.randint(0, 128)).encode() for _ in range(32)]
+    mat, lengths = to_matrix(seqs, 128)
+    words = pack_words(mat)
+    ascii_out = np.asarray(unpack_ascii(words))
+    for i, s in enumerate(seqs):
+        assert bytes(ascii_out[i, : len(s)].tobytes()) == s
+
+
+def test_validate(rng):
+    good = rand_sequence(rng, 20).encode()
+    cases = [
+        (good, True),
+        (b"ACGTN", False),
+        (b"acgt", False),        # lowercase rejected (util.pxd:88-96)
+        (b"ACGU", False),        # U rejected by the bloom despite table_91
+        (b"AC*T", False),
+        (b"", True),
+    ]
+    mat, lengths = to_matrix([c[0] for c in cases], 32)
+    ok = np.asarray(validate(mat, lengths))
+    assert list(ok) == [c[1] for c in cases]
+    # Oracle agreement on the same cases
+    for seq, expect in cases:
+        try:
+            oracle.encode_bytes(seq)
+            assert expect
+        except Exception:
+            assert not expect
+
+
+def test_first_bad_byte():
+    mat, lengths = to_matrix([b"ACGTN", b"NACGT", b"ACGT"], 16)
+    idx = np.asarray(first_bad_byte(mat, lengths))
+    assert list(idx) == [4, 0, 16]
+
+
+def test_padding_is_not_validated():
+    # Bytes past the row length are padding and must not affect validity.
+    mat, lengths = to_matrix([b"ACGT"], 16)
+    mat[0, 10] = ord("N")
+    assert bool(np.asarray(validate(mat, lengths))[0])
+
+
+@pytest.mark.parametrize("length", [1, 16, 31, 32, 33, 96, 97, 500, 1024])
+def test_hamming_matches_string_oracle(rng, length):
+    a = rand_sequence(rng, length)
+    b = rand_sequence(rng, length)
+    width = lanes_for_length(length) * 16
+    width = max(16, -(-width // 16) * 16)
+    mat, lengths = to_matrix([a.encode(), b.encode()], width)
+    words = pack_words(mat)
+    d = int(np.asarray(hamming_rows(words[0:1], words[1:2]))[0])
+    assert d == oracle.str_hamming(a, b)
+    blocks_a = oracle.encode_bytes(a.encode())
+    blocks_b = oracle.encode_bytes(b.encode())
+    assert d == oracle.hamming_blocks(blocks_a, blocks_b, length)
+
+
+def test_hamming_pairwise(rng):
+    seqs = [rand_sequence(rng, 24) for _ in range(8)]
+    mat, lengths = to_matrix([s.encode() for s in seqs], 32)
+    words = pack_words(mat)
+    dm = np.asarray(hamming_pairwise(words, words))
+    for i in range(8):
+        for j in range(8):
+            assert dm[i, j] == oracle.str_hamming(seqs[i], seqs[j])
