@@ -1,0 +1,174 @@
+// Host-side native FASTQ sharder for shortseq_tpu.
+//
+// TPU-native replacement for the reference's C getline reader
+// (reference fast_read.pyx:3-40): instead of building one Python object per
+// line, this library indexes a FASTQ buffer at memory bandwidth (memchr
+// newline scan, multi-threaded) and gathers the sequence lines (the 2nd of
+// every 4-line record, trailing newline stripped - same selection as the
+// reference's `count % 2 == 0 and count % 4 != 0`) into a zero-padded
+// [N, width] uint8 matrix ready for the device pack kernel.
+//
+// Byte-range sharding for multi-host runs: ssq_fastq_sync finds the first
+// record boundary at or after an arbitrary file offset using the
+// '@'-line-then-'+'-line-two-later heuristic, so each host can parse an
+// independent slice of one large file.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Count '\n' bytes in [buf, buf+n).  Multi-threaded memchr scan.
+int64_t ssq_count_lines(const char* buf, int64_t n) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = n > (1 << 22) ? (hw ? (int)hw : 4) : 1;
+  std::vector<int64_t> partial(nthreads, 0);
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    threads.emplace_back([=, &partial] {
+      int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      int64_t c = 0;
+      const char* p = buf + lo;
+      const char* end = buf + hi;
+      while ((p = (const char*)memchr(p, '\n', end - p))) {
+        ++c;
+        ++p;
+      }
+      partial[t] = c;
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (int64_t c : partial) total += c;
+  return total;
+}
+
+// Index the sequence lines of a FASTQ buffer.
+// starts[i]/lengths[i] receive the byte offset and length (newline excluded)
+// of the i-th record's sequence line.  Returns the number of records, or
+// -(needed) if cap is too small.  A missing final newline is tolerated.
+int64_t ssq_fastq_index(const char* buf, int64_t n, int64_t* starts,
+                        int32_t* lengths, int64_t cap) {
+  int64_t line = 0;      // 0-based line counter
+  int64_t count = 0;
+  const char* p = buf;
+  const char* end = buf + n;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* line_end = nl ? nl : end;
+    if ((line & 3) == 1) {  // 2nd line of each 4-line record
+      if (count < cap) {
+        starts[count] = p - buf;
+        lengths[count] = (int32_t)(line_end - p);
+      }
+      ++count;
+    }
+    if (!nl) break;
+    p = nl + 1;
+    ++line;
+  }
+  return count <= cap ? count : -count;
+}
+
+// Gather indexed sequence lines into a zero-padded row-major [n_reads, width]
+// matrix.  Rows longer than width are truncated (callers size width from the
+// max length that ssq_fastq_index reported).  Multi-threaded over rows.
+void ssq_gather_padded(const char* buf, const int64_t* starts,
+                       const int32_t* lengths, int64_t n_reads, int64_t width,
+                       uint8_t* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = n_reads > 4096 ? (hw ? (int)hw : 4) : 1;
+  int64_t chunk = (n_reads + nthreads - 1) / nthreads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) {
+    threads.emplace_back([=] {
+      int64_t lo = t * chunk, hi = std::min(n_reads, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i) {
+        uint8_t* row = out + i * width;
+        int64_t len = lengths[i] < width ? lengths[i] : width;
+        memcpy(row, buf + starts[i], (size_t)len);
+        memset(row + len, 0, (size_t)(width - len));
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Max of lengths[0..n) - lets the host size the padded matrix in one call.
+int32_t ssq_max_length(const int32_t* lengths, int64_t n) {
+  int32_t m = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (lengths[i] > m) m = lengths[i];
+  return m;
+}
+
+// Find the first FASTQ record boundary at or after `offset`.
+// A record boundary is a line start whose line begins with '@' and where the
+// line two lines later begins with '+' (the separator line).  Returns the
+// boundary offset, or n if none.  Used for multi-host byte-range sharding:
+// host h parses [sync(h * n / H), sync((h + 1) * n / H)).
+int64_t ssq_fastq_sync(const char* buf, int64_t n, int64_t offset) {
+  if (offset <= 0) return 0;
+  // Step to the next line start.
+  const char* p = (const char*)memchr(buf + offset - 1, '\n', n - offset + 1);
+  while (p) {
+    const char* ls = p + 1;          // candidate line start
+    if (ls >= buf + n) return n;
+    if (*ls == '@') {
+      // Look two lines ahead for the '+' separator.
+      const char* nl1 = (const char*)memchr(ls, '\n', buf + n - ls);
+      if (!nl1) return n;
+      const char* nl2 = (const char*)memchr(nl1 + 1, '\n', buf + n - nl1 - 1);
+      if (!nl2) return n;
+      if (nl2 + 1 < buf + n && nl2[1] == '+') return ls - buf;
+    }
+    p = (const char*)memchr(ls, '\n', buf + n - ls);
+  }
+  return n;
+}
+
+// Pack ASCII bases straight to 2-bit words on the host (CPU fallback /
+// oracle cross-check; the device path is ops/bitpack.py).  Packs row i of a
+// [n_reads, width] matrix into words[i * width/16 ...], LSB-first,
+// reproducing the reference layout (util.pyx:100-140).  width % 16 == 0.
+// Returns 0, or 1 + index of the first row containing an invalid byte.
+int64_t ssq_pack_rows(const uint8_t* mat, const int32_t* lengths,
+                      int64_t n_reads, int64_t width, uint32_t* words) {
+  const uint64_t kBloom = 0xFFFFFFFFFFEFFF75ull;  // reference util.pyx:75
+  std::atomic<int64_t> bad{0};
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = n_reads > 4096 ? (hw ? (int)hw : 4) : 1;
+  int64_t chunk = (n_reads + nthreads - 1) / nthreads;
+  int64_t wpr = width / 16;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) {
+    threads.emplace_back([=, &bad] {
+      int64_t lo = t * chunk, hi = std::min(n_reads, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* row = mat + i * width;
+        uint32_t* w = words + i * wpr;
+        int32_t len = lengths[i];
+        for (int64_t j = 0; j < wpr; ++j) w[j] = 0;
+        for (int32_t j = 0; j < len; ++j) {
+          uint8_t c = row[j];
+          if (kBloom & (1ull << (c & 63))) {
+            int64_t want = 0;
+            bad.compare_exchange_strong(want, i + 1);
+            return;
+          }
+          w[j >> 4] |= ((uint32_t)((c >> 1) & 3)) << (2 * (j & 15));
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return bad.load();
+}
+
+}  // extern "C"

@@ -12,6 +12,47 @@ Public surface matches the reference package (reference
 shortseq/__init__.py:1-14) and adds the batch/device APIs.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: compiles dominate small-batch latency
+# (each uncached TPU compile costs seconds to minutes through a remote
+# compile service), and the count/pack programs come from a small closed
+# set of shapes thanks to power-of-two batch padding.  Opt out with
+# SHORTSEQ_TPU_NO_CACHE=1.
+if _os.environ.get("SHORTSEQ_TPU_NO_CACHE") != "1":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.expanduser("~/.cache/shortseq_tpu/jax_cache")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+# Warm the device->host transfer path in the background: on tunneled TPU
+# runtimes the first d2h fetch pays a long one-time handshake (minutes in
+# this environment), and it would otherwise land on the first result the
+# user actually asks for.  A throwaway 4-byte fetch started at import
+# overlaps that handshake with real work.  SHORTSEQ_TPU_NO_WARMUP=1 opts out.
+if _os.environ.get("SHORTSEQ_TPU_NO_WARMUP") != "1":
+    import threading as _threading
+
+    def _warm_transfer():
+        try:
+            import jax.numpy as _jnp
+            import numpy as _np
+
+            _np.asarray(_jnp.zeros((1,), _jnp.uint32))
+        except Exception:
+            pass
+
+    _threading.Thread(target=_warm_transfer, daemon=True,
+                      name="shortseq-tpu-d2h-warmup").start()
+
 from .api import (
     pack,
     from_str,

@@ -19,8 +19,13 @@ if not _FORCE_PYTHON:
 if BACKEND == "python":
     from .seq import (
         ShortSeq64, ShortSeq192, ShortSeqVar,
-        pack, from_str, from_bytes, empty,
+        pack, from_str, from_bytes, empty, from_blocks,
     )
+else:
+    try:
+        from .._native import from_blocks  # type: ignore
+    except ImportError:
+        from .seq import from_blocks
 
 from .seq import get_domain_64, get_domain_192, get_domain_var
 from .counter import ShortSeqCounter, read_and_count_fastq

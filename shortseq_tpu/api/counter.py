@@ -60,22 +60,90 @@ class ShortSeqCounter(dict):
             setter(self, s, get(s, 0) + c)
 
 
+def count_matrix_device(mat, lengths) -> ShortSeqCounter:
+    """Count a padded ASCII read matrix on device and materialize a
+    reference-identical ShortSeqCounter.
+
+    Reads are bucketed by width class (<=32, <=96, <=1024 nt - the
+    reference's ladder, short_seq.pyx:54-74) so each device batch is as
+    narrow as possible; bucket tables are disjoint by length, so the final
+    dict is their union.  Raises the reference's error on invalid bases.
+    """
+    import numpy as np
+
+    from ..constants import (MAX_64_NT, MAX_192_NT, MAX_VAR_NT,
+                             TOO_LONG_MSG, UNSUPPORTED_BASE_MSG)
+
+    b = _backend()
+    counts = ShortSeqCounter()
+    if len(lengths) == 0:
+        return counts
+    if int(np.max(lengths)) > MAX_VAR_NT:
+        raise Exception(TOO_LONG_MSG)
+
+    import jax.numpy as jnp
+
+    from ..count import count_batch
+    from ..count.device import counts_to_host
+    from ..ops.bitpack import pack_and_validate
+
+    from ..count.device import PAD_LENGTH
+
+    edges = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
+             (MAX_192_NT, MAX_VAR_NT, 1024)]
+    setter = dict.__setitem__
+    for lo, hi, width in edges:
+        sel = (lengths > lo) & (lengths <= hi)
+        if lo == 0:
+            sel |= lengths == 0
+        if not sel.any():
+            continue
+        rows = np.ascontiguousarray(mat[sel][:, :width]) if mat.shape[1] >= width \
+            else np.pad(mat[sel], ((0, 0), (0, width - mat.shape[1])))
+        sub_len = lengths[sel].astype(np.int32)
+        # Pad the batch dim to a power of two (>=256) so repeat calls reuse
+        # the compile cache - XLA recompiles per shape, and each compile
+        # costs far more than sorting a few padded rows.  Pad rows carry
+        # PAD_LENGTH and are dropped by unique_count.
+        m = len(sub_len)
+        m_pad = max(256, 1 << (m - 1).bit_length())
+        if m_pad != m:
+            rows = np.pad(rows, ((0, m_pad - m), (0, 0)))
+            sub_len = np.pad(sub_len, (0, m_pad - m),
+                             constant_values=PAD_LENGTH)
+        # Pad rows validate with length 0 (all-zero rows are vacuously ok).
+        val_len = np.where(sub_len == PAD_LENGTH, 0, sub_len).astype(np.int32)
+        words, ok = pack_and_validate(jnp.asarray(rows), jnp.asarray(val_len))
+        ok = np.asarray(ok)[:m]
+        if not ok.all():
+            bad_row = rows[int(np.argmin(ok))]
+            bad_len = int(sub_len[int(np.argmin(ok))])
+            bad = next(chr(c) for c in bad_row[:bad_len]
+                       if chr(c) not in "ACGT")
+            raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
+        table = counts_to_host(*count_batch(words, jnp.asarray(sub_len)))
+        for (length, blocks), count in table:
+            key = b.from_blocks(blocks, length)
+            setter(counts, key, counts.get(key, 0) + count)
+    return counts
+
+
 def read_and_count_fastq(filename) -> ShortSeqCounter:
     """End-to-end FASTQ dedup pipeline with the reference's phase-timing
     print (reference counter.pyx:57-71).
 
-    Uses the batched device pipeline (reader -> pack kernel -> device
-    sort-unique-count) and materializes a reference-identical counter.
+    The throughput path: native sharder -> padded matrix -> device pack +
+    sort-unique-count -> host Counter materialization.  Bit-exact contents
+    vs the reference's object-at-a-time dict counting.
     """
-    from ..io.fastq import read_fastq_seqs
+    from ..io.fastq import read_fastq_matrix
 
     t1 = time.time()
-    seqs = read_fastq_seqs(filename)
+    mat, lengths = read_fastq_matrix(filename)
     t2 = time.time()
-    counts = ShortSeqCounter()
-    counts.count_sequences(seqs)
+    counts = count_matrix_device(mat, lengths)
     t3 = time.time()
 
-    print(f"{t2 - t1:.2f}s to read {len(seqs)} total seqs, "
+    print(f"{t2 - t1:.2f}s to read {len(lengths)} total seqs, "
           f"and {t3 - t2:.2f}s to count {len(counts)} unique sequences")
     return counts

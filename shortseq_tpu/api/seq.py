@@ -251,6 +251,30 @@ empty._packed = 0
 empty._length = 0
 
 
+def from_blocks(blocks, length: int):
+    """Build a ShortSeq directly from reference uint64 blocks (the device
+    count tables' native key format, count/device.py counts_to_host) -
+    no re-encoding, same width dispatch as _new (short_seq.pyx:54-74)."""
+    if length == 0:
+        return empty
+    if length <= MAX_64_NT:
+        out = ShortSeq64.__new__(ShortSeq64)
+        out._packed = blocks[0]
+        out._length = length
+        return out
+    elif length <= MAX_192_NT:
+        out = ShortSeq192.__new__(ShortSeq192)
+        out._blocks = tuple(blocks) + (0,) * (3 - len(blocks))
+        out._length = length
+        return out
+    elif length <= MAX_VAR_NT:
+        out = ShortSeqVar.__new__(ShortSeqVar)
+        out._blocks = tuple(blocks)
+        out._length = length
+        return out
+    raise Exception(TOO_LONG_MSG)
+
+
 def _new(seq_bytes: bytes):
     length = len(seq_bytes)
     if length == 0:

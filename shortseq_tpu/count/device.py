@@ -1,0 +1,125 @@
+"""Sort-unique-count over packed lane batches.
+
+The reference counts uniques with a CPython dict keyed by prehashed ShortSeq
+objects (reference counter.pyx:41-54, util.pxd:63-70).  A hash table is the
+wrong shape for a TPU: data-dependent probing defeats XLA's static-shape
+compilation and the VPU.  Instead we use the classic sort-based grouping,
+which is all dense vector work:
+
+  1. lexicographic sort of rows by (length, lane_0, ..., lane_{W-1})
+     via a single multi-operand `jax.lax.sort` (XLA sorts all operands
+     by the first `num_keys` - no host loop, no gather chains);
+  2. segment boundaries: a row starts a new group iff any key differs
+     from the previous row;
+  3. per-group sums of the rows' weights via `jax.ops.segment_sum`.
+
+Everything is static-shape: outputs are padded to N rows and accompanied
+by an `n_unique` scalar.  Weights make the op associative - merging two
+count tables is just concatenation + another unique_count - which is what
+the distributed merge in shortseq_tpu.dist relies on.
+
+Padding convention: callers mark dead rows with length PAD_LENGTH (an
+impossible sequence length).  Dead rows sort to the end, collapse into at
+most one trailing group, and are excluded from `n_unique`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Sorts after every real length (0..1024).  int32 max keeps it impossible.
+PAD_LENGTH = jnp.iinfo(jnp.int32).max
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
+                 n_out: int | None = None):
+    """Group identical (length, words-row) keys and sum their weights.
+
+    Args:
+      words:   `[N, W]` uint32 packed lanes (zero-padded past each length).
+      lengths: `[N]` int32; PAD_LENGTH marks dead rows (weight ignored via 0).
+      weights: `[N]` int32 per-row counts (1 for raw reads; table counts
+               when merging).
+    Returns:
+      (u_words `[M, W]`, u_lengths `[M]`, u_counts `[M]`, n_unique scalar)
+      with M = n_out or N; groups are sorted ascending by key; rows at and
+      past n_unique are padding (length PAD_LENGTH, count 0).
+    """
+    n, w = words.shape
+    if n_out is None:
+        n_out = n
+
+    # 1. Lexicographic sort.  Keys: length first (cheap early discriminator
+    # and groups the PAD rows last), then lanes most-significant-first so
+    # equal reads are adjacent.  Lanes compare as uint32; jax.lax.sort
+    # sorts unsigned dtypes by value.
+    operands = (lengths,) + tuple(words[:, j] for j in range(w)) + (weights,)
+    sorted_ops = jax.lax.sort(operands, num_keys=1 + w)
+    s_lengths = sorted_ops[0]
+    s_lanes = sorted_ops[1:1 + w]
+    s_weights = sorted_ops[-1]
+
+    # 2. Segment boundaries.
+    def _differs(col):
+        return jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), col[1:] != col[:-1]])
+
+    is_new = _differs(s_lengths)
+    for lane in s_lanes:
+        is_new = is_new | _differs(lane)
+    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # [N]
+
+    # 3. Per-group reductions.  All rows of a group carry identical keys,
+    # so the duplicate scatter writes below are deterministic.
+    live = s_lengths != PAD_LENGTH
+    counts = jax.ops.segment_sum(
+        jnp.where(live, s_weights, 0), seg_id, num_segments=n_out)
+    u_words = jnp.zeros((n_out, w), jnp.uint32).at[seg_id].set(
+        jnp.stack(s_lanes, axis=1), mode="drop")
+    u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(
+        s_lengths, mode="drop")
+
+    n_groups = seg_id[-1] + 1
+    # The PAD rows (if any) formed the final group; drop it from the count.
+    has_pad = s_lengths[-1] == PAD_LENGTH
+    n_unique = n_groups - has_pad.astype(jnp.int32)
+    # Normalize the pad group's slot so padding is canonical.
+    u_lengths = jnp.where(jnp.arange(n_out) < n_unique, u_lengths, PAD_LENGTH)
+    counts = jnp.where(jnp.arange(n_out) < n_unique, counts, 0)
+    return u_words, u_lengths, counts, n_unique
+
+
+@jax.jit
+def count_batch(words: jax.Array, lengths: jax.Array):
+    """Count a raw read batch: every row weight 1 (the single-shard
+    equivalent of reference counter.pyx:31-39)."""
+    return unique_count(words, lengths, jnp.ones(words.shape[0], jnp.int32))
+
+
+def counts_to_host(u_words, u_lengths, u_counts, n_unique):
+    """Device count table -> list of ((length, blocks tuple), count) on host.
+
+    Blocks are reference uint64 values (lane pair 2b, 2b+1 fused), ready for
+    the Counter materialization in api.counter.
+    """
+    import numpy as np
+
+    # Transfer the full padded arrays and slice on host: device-slicing by
+    # the data-dependent n_unique would compile a fresh XLA program per
+    # distinct value, which dwarfs the copy cost for these tables.
+    n = int(n_unique)
+    w = np.asarray(u_words)[:n].astype(np.uint64)
+    lens = np.asarray(u_lengths)[:n]
+    cnts = np.asarray(u_counts)[:n]
+    blocks64 = w[:, 0::2] | (w[:, 1::2] << np.uint64(32))
+    out = []
+    for i in range(n):
+        length = int(lens[i])
+        nblocks = max(1, -(-length // 32))
+        out.append(((length, tuple(int(b) for b in blocks64[i, :nblocks])),
+                    int(cnts[i])))
+    return out

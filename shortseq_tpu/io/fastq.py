@@ -38,11 +38,25 @@ def fastq_line_index(buf: np.ndarray):
     return seq_starts, seq_ends
 
 
-def read_fastq_matrix(filename, pad_to: int = 16):
+def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
     """Parse a FASTQ file into a zero-padded `[N, L]` uint8 matrix plus
     `[N]` int32 lengths, L rounded up to a multiple of `pad_to` (static
-    shapes for XLA)."""
-    buf = np.frombuffer(_read_bytes(filename), dtype=np.uint8)
+    shapes for XLA).
+
+    Uses the native C++ sharder (csrc/fastq_index.cpp) when available -
+    multi-threaded memchr indexing at memory bandwidth - and falls back to
+    the vectorized numpy parse.  `byte_range=(lo, hi)` restricts parsing to
+    the records starting inside the range (multi-host sharding; native only).
+    """
+    data = _read_bytes(filename)
+    from .native import fastq_matrix_native
+
+    native = fastq_matrix_native(data, pad_to=pad_to, byte_range=byte_range)
+    if native is not None:
+        return native
+    if byte_range is not None:
+        raise RuntimeError("byte_range sharding requires the native sharder")
+    buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros((0, pad_to), dtype=np.uint8), np.zeros(0, dtype=np.int32)
     starts, ends = fastq_line_index(buf)

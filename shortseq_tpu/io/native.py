@@ -1,0 +1,143 @@
+"""ctypes binding for the native FASTQ sharder (csrc/fastq_index.cpp).
+
+The shared library is built on demand with g++ (no pybind11 in this image;
+a plain C ABI + ctypes keeps the binding dependency-free).  The build is
+cached next to the source keyed into ~/.cache; if no compiler is available
+the callers fall back to the numpy parser in io/fastq.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "csrc" / "fastq_index.cpp"
+_CACHE_DIR = Path(os.environ.get(
+    "SHORTSEQ_TPU_CACHE", Path.home() / ".cache" / "shortseq_tpu"))
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Path | None:
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    so_path = _CACHE_DIR / "libshortseq_io.so"
+    if so_path.exists() and so_path.stat().st_mtime >= _SRC.stat().st_mtime:
+        return so_path
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", str(_SRC), "-o", str(so_path),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return so_path
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so_path = _build()
+        if so_path is None:
+            return None
+        lib = ctypes.CDLL(str(so_path))
+        c_char_p = ctypes.c_char_p
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        p_i32 = ctypes.POINTER(ctypes.c_int32)
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        p_u32 = ctypes.POINTER(ctypes.c_uint32)
+        lib.ssq_count_lines.restype = i64
+        lib.ssq_count_lines.argtypes = [c_char_p, i64]
+        lib.ssq_fastq_index.restype = i64
+        lib.ssq_fastq_index.argtypes = [c_char_p, i64, p_i64, p_i32, i64]
+        lib.ssq_gather_padded.restype = None
+        lib.ssq_gather_padded.argtypes = [c_char_p, p_i64, p_i32, i64, i64, p_u8]
+        lib.ssq_max_length.restype = i32
+        lib.ssq_max_length.argtypes = [p_i32, i64]
+        lib.ssq_fastq_sync.restype = i64
+        lib.ssq_fastq_sync.argtypes = [c_char_p, i64, i64]
+        lib.ssq_pack_rows.restype = i64
+        lib.ssq_pack_rows.argtypes = [p_u8, p_i32, i64, i64, p_u32]
+        _lib = lib
+        return _lib
+
+
+def _as_ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def fastq_matrix_native(data: bytes, pad_to: int = 16,
+                        byte_range: tuple[int, int] | None = None):
+    """Parse a FASTQ byte buffer into (padded uint8 matrix, lengths) using
+    the native sharder.  Returns None when the native library is missing.
+
+    byte_range (lo, hi) restricts parsing to the records whose boundaries
+    ssq_fastq_sync finds inside [lo, hi) - the multi-host sharding hook.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if byte_range is not None:
+        lo = lib.ssq_fastq_sync(data, n, byte_range[0])
+        hi = lib.ssq_fastq_sync(data, n, byte_range[1])
+        data = data[lo:hi]
+        n = len(data)
+    if n == 0:
+        return (np.zeros((0, pad_to), dtype=np.uint8),
+                np.zeros(0, dtype=np.int32))
+    # Capacity: one record per 4 lines; over-allocate then trim.
+    cap = lib.ssq_count_lines(data, n) // 4 + 2
+    starts = np.empty(cap, dtype=np.int64)
+    lengths = np.empty(cap, dtype=np.int32)
+    n_reads = lib.ssq_fastq_index(
+        data, n, _as_ptr(starts, ctypes.c_int64),
+        _as_ptr(lengths, ctypes.c_int32), cap)
+    assert n_reads >= 0, "capacity underestimate"
+    starts, lengths = starts[:n_reads], lengths[:n_reads]
+    if n_reads == 0:
+        return np.zeros((0, pad_to), dtype=np.uint8), lengths
+    max_len = lib.ssq_max_length(_as_ptr(lengths, ctypes.c_int32), n_reads)
+    width = max(pad_to, -(-max_len // pad_to) * pad_to)
+    mat = np.empty((n_reads, width), dtype=np.uint8)
+    lib.ssq_gather_padded(
+        data, _as_ptr(starts, ctypes.c_int64),
+        _as_ptr(lengths, ctypes.c_int32), n_reads, width,
+        _as_ptr(mat, ctypes.c_uint8))
+    return mat, lengths
+
+
+def pack_rows_native(mat: np.ndarray, lengths: np.ndarray):
+    """Host-side 2-bit packing (CPU oracle / fallback): [N, W] uint8 ->
+    [N, W//16] uint32 in the reference bit layout.  Returns None when the
+    native library is missing; raises on invalid bases like the reference
+    (short_seq_64.pyx:105)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, width = mat.shape
+    assert width % 16 == 0
+    mat = np.ascontiguousarray(mat)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    words = np.empty((n, width // 16), dtype=np.uint32)
+    bad = lib.ssq_pack_rows(
+        _as_ptr(mat, ctypes.c_uint8), _as_ptr(lengths, ctypes.c_int32),
+        n, width, _as_ptr(words, ctypes.c_uint32))
+    if bad:
+        from ..constants import UNSUPPORTED_BASE_MSG
+
+        row = bad - 1
+        raise Exception(f"{UNSUPPORTED_BASE_MSG} in read {row}")
+    return words

@@ -1,20 +1,38 @@
-"""Test configuration: run JAX on a simulated 8-device CPU mesh so the
-multi-chip sharding paths are exercised without a pod
-(SURVEY.md section 4 implication)."""
+"""Test configuration.
+
+Multi-chip note: in this environment a sitecustomize module imports jax at
+interpreter startup and registers the single real TPU chip, so the usual
+in-process trick (JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count)
+cannot take effect here.  Tests therefore run on whatever backend the
+interpreter booted with; the true 8-device CPU-mesh checks run in a
+subprocess with a scrubbed environment (see test_multichip.py), matching
+how the driver validates the sharded path.
+"""
 
 import os
-
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import random
 
 import pytest
+
+# Harmless when sitecustomize already pinned a backend; effective when the
+# suite runs in a clean environment (CI without the axon boot hook).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+
+def scrubbed_cpu_env(n_devices=8):
+    """Environment for subprocess tests that need an n-device CPU mesh:
+    drops the sitecustomize PYTHONPATH hook and forces the CPU platform."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
 
 
 @pytest.fixture

@@ -105,3 +105,34 @@ class TestFastq:
         assert read_fastq_lines(path) == []
         mat, lengths = read_fastq_matrix(path)
         assert mat.shape[0] == 0 and len(lengths) == 0
+
+
+class TestDeviceCountPipeline:
+    def test_mixed_width_fastq_exact_keys(self, tmp_path, rng):
+        reads = ([rand_read(rng, 1, 32) for _ in range(80)]
+                 + [rand_read(rng, 33, 96) for _ in range(60)]
+                 + [rand_read(rng, 97, 200) for _ in range(30)])
+        reads = reads + reads[::2]
+        path = tmp_path / "mixed.fastq"
+        write_fastq(path, reads)
+        counts = sq.read_and_count_fastq(str(path))
+        oracle = collections.Counter(reads)
+        assert {str(k): v for k, v in counts.items()} == dict(oracle)
+        # Keys are real ShortSeq objects of the right width class.
+        for k in counts:
+            if len(k) <= 32:
+                assert type(k) is sq.ShortSeq64
+            elif len(k) <= 96:
+                assert type(k) is sq.ShortSeq192
+            else:
+                assert type(k) is sq.ShortSeqVar
+        # And equal to independently packed objects (hash/eq parity).
+        for r in set(reads):
+            assert counts[sq.pack(r)] == oracle[r]
+
+    def test_invalid_base_raises(self, tmp_path):
+        path = tmp_path / "bad.fastq"
+        with open(path, "wb") as f:
+            f.write(b"@r0\nACGT\n+\nIIII\n@r1\nACNT\n+\nIIII\n")
+        with pytest.raises(Exception, match="Unsupported base character"):
+            sq.read_and_count_fastq(str(path))

@@ -1,0 +1,60 @@
+"""8-device CPU-mesh validation of the sharded count path.
+
+Runs in a subprocess with a scrubbed environment because the interpreter
+in this image boots with a sitecustomize hook that pins the single real
+TPU backend before any test code runs (see conftest.scrubbed_cpu_env).
+This mirrors exactly how the driver dry-runs the multi-chip path
+(`__graft_entry__.dryrun_multichip` with xla_force_host_platform_device_count).
+"""
+
+import subprocess
+import sys
+
+from tests.conftest import scrubbed_cpu_env
+
+_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+assert len(jax.devices()) == 8, jax.devices()
+import __graft_entry__
+__graft_entry__.dryrun_multichip(8)
+
+# Also check the merged table matches a single-device count bit-for-bit.
+import collections
+import numpy as np
+import jax.numpy as jnp
+from shortseq_tpu.count import count_batch
+from shortseq_tpu.count.device import counts_to_host
+from shortseq_tpu.dist import data_mesh, make_sharded_counter
+
+rng = np.random.default_rng(7)
+n, width = 128, 32
+lengths = rng.integers(8, 33, size=n).astype(np.int32)
+codes = rng.integers(0, 3, size=(n, width)).astype(np.uint8)  # small alphabet -> dups
+ascii_mat = np.frombuffer(b"ACT", dtype=np.uint8)[codes]
+mask = np.arange(width)[None, :] < lengths[:, None]
+ascii_mat = np.where(mask, ascii_mat, 0).astype(np.uint8)
+
+step = make_sharded_counter(data_mesh())
+u_w, u_l, u_c, n_u, ok = step(jnp.asarray(ascii_mat), jnp.asarray(lengths))
+assert bool(jnp.all(ok))
+sharded = dict(counts_to_host(u_w, u_l, u_c, n_u))
+
+from shortseq_tpu.ops.bitpack import pack_words
+words = pack_words(jnp.asarray(ascii_mat))
+local = dict(counts_to_host(*count_batch(words, jnp.asarray(lengths))))
+assert sharded == local, (len(sharded), len(local))
+assert sum(sharded.values()) == n
+print("MULTICHIP-OK", len(sharded))
+"""
+
+
+def test_sharded_count_on_8_cpu_devices():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        env=scrubbed_cpu_env(8),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "MULTICHIP-OK" in proc.stdout
