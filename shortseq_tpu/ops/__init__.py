@@ -7,3 +7,4 @@ from .bitpack import (
     collapse_xor,
 )
 from .hamming import hamming_rows, hamming_pairwise
+from .pallas_kernels import hamming_pairwise_tiled, pairwise_hamming_auto

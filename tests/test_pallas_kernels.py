@@ -1,0 +1,48 @@
+"""Tiled Pallas pairwise-hamming kernel vs the jnp broadcast op and the
+string oracle.  The Mosaic lowering only exists on TPU; off-TPU these
+tests exercise the auto-fallback path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _rand_words(n, w, seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(0, 2**32, size=(n, w), dtype=np.uint64).astype(np.uint32))
+
+
+on_tpu = jax.devices()[0].platform == "tpu"
+
+
+class TestPairwiseTiled:
+    @pytest.mark.skipif(not on_tpu, reason="Mosaic kernel needs TPU")
+    @pytest.mark.parametrize("n,m,w", [(128, 128, 2), (256, 384, 6),
+                                       (130, 70, 4), (64, 64, 64)])
+    def test_matches_jnp(self, n, m, w):
+        from shortseq_tpu.ops import hamming_pairwise, hamming_pairwise_tiled
+
+        a, b = _rand_words(n, w, 1), _rand_words(m, w, 2)
+        got = np.asarray(hamming_pairwise_tiled(a, b))
+        want = np.asarray(hamming_pairwise(a, b))
+        assert (got == want).all()
+
+    def test_auto_matches_oracle(self, rng):
+        from tests.conftest import rand_sequence
+
+        from shortseq_tpu.ops import pairwise_hamming_auto
+        from shortseq_tpu.ops.bitpack import pack_words
+
+        seqs = [rand_sequence(rng, 32) for _ in range(40)]
+        mat = np.zeros((len(seqs), 32), np.uint8)
+        for i, s in enumerate(seqs):
+            mat[i] = np.frombuffer(s.encode(), np.uint8)
+        words = pack_words(jnp.asarray(mat))
+        dist = np.asarray(pairwise_hamming_auto(words, words))
+        for i in range(0, len(seqs), 7):
+            for j in range(0, len(seqs), 5):
+                want = sum(a != b for a, b in zip(seqs[i], seqs[j]))
+                assert dist[i, j] == want

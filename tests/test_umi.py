@@ -1,0 +1,110 @@
+"""UMI subpackage: object parity (reference tests/unit_tests_umi.py:6-29)
+plus the dedup capability the reference left unfinished."""
+
+import numpy as np
+import pytest
+
+from shortseq_tpu.umi import (
+    UMI, UMI3p, UMI5p, UMIboth, UMIFactory, dedup_umis, umi_adjacency,
+)
+
+
+class TestConstruct:
+    def test_construct(self):
+        UMI(); UMI5p(); UMI3p(); UMIboth()
+
+    def test_factory_construct(self):
+        f_5p = UMIFactory(len_5p=1)
+        f_3p = UMIFactory(len_3p=1)
+        f_bo = UMIFactory(len_5p=1, len_3p=1)
+        assert isinstance(f_5p.from_bytes(b"ATGC"), UMI5p)
+        assert isinstance(f_3p.from_bytes(b"ATGC"), UMI3p)
+        assert isinstance(f_bo.from_bytes(b"ATGC"), UMIboth)
+
+    def test_seq_basic(self):
+        seq = b"GCGTAATAGGGGGTTTCGCTGTGGGGCGGCTAG"
+        UMIFactory(len_5p=5).from_bytes(seq)
+
+    def test_split_contents(self):
+        u = UMIFactory(len_5p=3, len_3p=2).from_bytes(b"AAACGTACGTTT")
+        assert str(u.umi5) == "AAA"
+        assert str(u.umi3) == "TT"
+        assert str(u.seq) == "CGTACGT"
+
+    def test_eq_and_hash(self):
+        f = UMIFactory(len_5p=2)
+        a, b = f.from_bytes(b"AACGT"), f.from_bytes(b"AACGT")
+        c = f.from_bytes(b"ATCGT")
+        assert a == b and hash(a) == hash(b)
+        assert a != c
+        assert a != UMIFactory(len_3p=2).from_bytes(b"AACGT")
+
+    def test_too_short_raises(self):
+        with pytest.raises(ValueError, match="shorter than"):
+            UMIFactory(len_5p=3, len_3p=3).from_bytes(b"ACGT")
+
+
+class TestDedup:
+    def test_unique(self):
+        labels, reps = dedup_umis([b"AAAA", b"AAAT", b"AAAA"],
+                                  method="unique")
+        assert len(reps) == 2
+        assert labels[0] == labels[2] != labels[1]
+
+    def test_cluster_merges_within_threshold(self):
+        # AAAA - AAAT (dist 1) - AATT (dist 1 from AAAT, 2 from AAAA):
+        # one connected component; GGGG is its own.
+        labels, reps = dedup_umis(
+            [b"AAAA", b"AAAT", b"AATT", b"GGGG"], method="cluster")
+        assert labels[0] == labels[1] == labels[2]
+        assert labels[3] != labels[0]
+        assert len(reps) == 2
+
+    def test_directional_respects_counts(self):
+        # umi_tools directional: u absorbs v iff count(u) >= 2*count(v)-1.
+        # AAAA x5 absorbs AAAT x2 (5 >= 3); CCCC x3 cannot absorb CCCG x3
+        # (3 < 5), so CCCG stays its own cluster.
+        umis = [b"AAAA"] * 5 + [b"AAAT"] * 2 + [b"CCCC"] * 3 + [b"CCCG"] * 3
+        labels, reps = dedup_umis(umis, method="directional")
+        assert labels[0] == labels[5]          # AAAT joined AAAA
+        assert labels[7] != labels[10]         # CCCG did not join CCCC
+        assert sorted(map(bytes, reps)) == [b"AAAA", b"CCCC", b"CCCG"]
+
+    def test_adjacency_no_transitive_absorb(self):
+        # adjacency: root absorbs direct neighbours only; AATT is distance
+        # 2 from the root AAAA, so it survives as its own cluster even
+        # though AAAT links them.
+        umis = [b"AAAA"] * 5 + [b"AAAT"] * 2 + [b"AATT"] * 1
+        labels, reps = dedup_umis(umis, method="adjacency")
+        assert labels[0] == labels[5]
+        assert labels[7] != labels[0]
+
+    def test_different_lengths_never_merge(self):
+        labels, reps = dedup_umis([b"AAAA", b"AAA"], method="cluster")
+        assert labels[0] != labels[1]
+
+    def test_invalid_umi_raises(self):
+        with pytest.raises(Exception, match="Unsupported base character"):
+            dedup_umis([b"AANA"])
+
+    def test_empty(self):
+        labels, reps = dedup_umis([])
+        assert len(labels) == 0 and reps == []
+
+    def test_adjacency_matrix_matches_strings(self):
+        import itertools
+        import jax.numpy as jnp
+
+        from shortseq_tpu.ops.bitpack import pack_words
+
+        umis = [b"ACGT", b"ACGA", b"TCGA", b"ACGT", b"AAAA"]
+        uniq = sorted(set(umis))
+        mat = np.zeros((len(uniq), 32), np.uint8)
+        lengths = np.full(len(uniq), 4, np.int32)
+        for i, u in enumerate(uniq):
+            mat[i, :4] = np.frombuffer(u, np.uint8)
+        words = pack_words(jnp.asarray(mat))
+        adj = umi_adjacency(words, lengths, threshold=1)
+        for i, j in itertools.product(range(len(uniq)), repeat=2):
+            dist = sum(a != b for a, b in zip(uniq[i], uniq[j]))
+            assert adj[i, j] == (dist <= 1), (uniq[i], uniq[j])
