@@ -79,6 +79,9 @@ def bench_dedup(n=1 << 18, width=32):
 
 
 def main():
+    from shortseq_tpu.utils.warmup import start_transfer_warmup
+
+    start_transfer_warmup()
     nt_per_s = bench_pack()
     extra = {
         "hamming_pairs_per_s": bench_hamming(),

@@ -33,26 +33,6 @@ if _os.environ.get("SHORTSEQ_TPU_NO_CACHE") != "1":
     except Exception:  # cache is an optimization, never a requirement
         pass
 
-# Warm the device->host transfer path in the background: on tunneled TPU
-# runtimes the first d2h fetch pays a long one-time handshake (minutes in
-# this environment), and it would otherwise land on the first result the
-# user actually asks for.  A throwaway 4-byte fetch started at import
-# overlaps that handshake with real work.  SHORTSEQ_TPU_NO_WARMUP=1 opts out.
-if _os.environ.get("SHORTSEQ_TPU_NO_WARMUP") != "1":
-    import threading as _threading
-
-    def _warm_transfer():
-        try:
-            import jax.numpy as _jnp
-            import numpy as _np
-
-            _np.asarray(_jnp.zeros((1,), _jnp.uint32))
-        except Exception:
-            pass
-
-    _threading.Thread(target=_warm_transfer, daemon=True,
-                      name="shortseq-tpu-d2h-warmup").start()
-
 from .api import (
     pack,
     from_str,

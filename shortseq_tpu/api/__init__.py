@@ -1,31 +1,28 @@
-"""Public object API.  Prefers the native C++ extension when built; falls
-back to the pure-Python implementation with identical semantics."""
+"""Public object API.  Prefers the native C++ extension (built on demand
+from csrc/shortseq_native.cpp - physically 32/48/64-288-byte objects with
+C-speed dunders); falls back to the pure-Python implementation with
+identical semantics.  Force the fallback with SHORTSEQ_TPU_FORCE_PYTHON=1."""
 
-import os
+from ..native_build import load as _load_native
 
-_FORCE_PYTHON = os.environ.get("SHORTSEQ_TPU_FORCE_PYTHON", "") == "1"
+_native = _load_native()
 
-BACKEND = "python"
-if not _FORCE_PYTHON:
-    try:
-        from .._native import (  # type: ignore
-            ShortSeq64, ShortSeq192, ShortSeqVar,
-            pack, from_str, from_bytes, empty,
-        )
-        BACKEND = "native"
-    except ImportError:
-        pass
-
-if BACKEND == "python":
+if _native is not None:
+    ShortSeq64 = _native.ShortSeq64
+    ShortSeq192 = _native.ShortSeq192
+    ShortSeqVar = _native.ShortSeqVar
+    pack = _native.pack
+    from_str = _native.from_str
+    from_bytes = _native.from_bytes
+    from_blocks = _native.from_blocks
+    empty = _native.empty
+    BACKEND = "native"
+else:
     from .seq import (
         ShortSeq64, ShortSeq192, ShortSeqVar,
         pack, from_str, from_bytes, empty, from_blocks,
     )
-else:
-    try:
-        from .._native import from_blocks  # type: ignore
-    except ImportError:
-        from .seq import from_blocks
+    BACKEND = "python"
 
 from .seq import get_domain_64, get_domain_192, get_domain_var
 from .counter import ShortSeqCounter, read_and_count_fastq

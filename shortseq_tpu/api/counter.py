@@ -84,10 +84,13 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     import jax.numpy as jnp
 
     from ..count import count_batch
-    from ..count.device import counts_to_host
+    from ..count.device import PAD_LENGTH, counts_to_host
     from ..ops.bitpack import pack_and_validate
+    from ..utils.warmup import start_transfer_warmup
 
-    from ..count.device import PAD_LENGTH
+    # This pipeline fetches device results; overlap the one-time d2h
+    # handshake (see utils/warmup.py) with the pack/count work.
+    start_transfer_warmup()
 
     edges = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
              (MAX_192_NT, MAX_VAR_NT, 1024)]

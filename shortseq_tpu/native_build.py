@@ -1,0 +1,75 @@
+"""On-demand build + load of the _native C extension
+(csrc/shortseq_native.cpp).
+
+No pip/pybind11 in the target image, so the extension compiles with plain
+g++ against the running interpreter's headers (sysconfig) into a cache
+directory and loads via importlib's extension loader.  Any failure makes
+the package fall back to the pure-Python object layer with identical
+semantics (api/seq.py) - the build is an optimization, never a
+requirement.
+"""
+
+from __future__ import annotations
+
+import importlib.machinery
+import importlib.util
+import os
+import subprocess
+import sysconfig
+import threading
+from pathlib import Path
+
+_SRC = Path(__file__).resolve().parent.parent / "csrc" / "shortseq_native.cpp"
+_CACHE_DIR = Path(os.environ.get(
+    "SHORTSEQ_TPU_CACHE", Path.home() / ".cache" / "shortseq_tpu"))
+
+_lock = threading.Lock()
+_module = None
+_tried = False
+
+
+def _so_path() -> Path:
+    tag = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    return _CACHE_DIR / f"_native{tag}"
+
+
+def _build() -> Path | None:
+    so = _so_path()
+    if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
+        return so
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    include = sysconfig.get_paths()["include"]
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        f"-I{include}", str(_SRC), "-o", str(so),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return so
+
+
+def load():
+    """The _native module, or None when it cannot be built/loaded."""
+    global _module, _tried
+    with _lock:
+        if _tried:
+            return _module
+        _tried = True
+        if os.environ.get("SHORTSEQ_TPU_FORCE_PYTHON", "") == "1":
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            loader = importlib.machinery.ExtensionFileLoader(
+                "shortseq_tpu._native", str(so))
+            spec = importlib.util.spec_from_loader(
+                "shortseq_tpu._native", loader)
+            mod = importlib.util.module_from_spec(spec)
+            loader.exec_module(mod)
+        except Exception:
+            return None
+        _module = mod
+        return _module

@@ -44,8 +44,11 @@ def _pack_unique(umis):
 
     import jax.numpy as jnp
 
-    from ..ops.bitpack import pack_and_validate
     from ..constants import UNSUPPORTED_BASE_MSG
+    from ..ops.bitpack import pack_and_validate
+    from ..utils.warmup import start_transfer_warmup
+
+    start_transfer_warmup()
 
     width = 32
     mat = np.zeros((len(uniq), width), np.uint8)

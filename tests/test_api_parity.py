@@ -14,13 +14,11 @@ import pytest
 import shortseq_tpu.api.seq as pyseq
 
 BACKENDS = {"python": pyseq}
-try:
-    from shortseq_tpu import _native as nativeseq  # noqa: F401
+from shortseq_tpu.native_build import load as _load_native
 
-    if getattr(nativeseq, "AVAILABLE", False):
-        BACKENDS["native"] = nativeseq
-except ImportError:
-    pass
+_native = _load_native()
+if _native is not None:
+    BACKENDS["native"] = _native
 
 MIN_64_NT, MAX_64_NT = 0, 32
 MIN_192_NT, MAX_192_NT = 33, 96
@@ -290,5 +288,10 @@ class TestReadme:
         hammd = sum(a != b for a, b in zip(str(seq_3), str(seq_4)))
         assert seq_3 ^ seq_4 == hammd == 3
 
+        # The counter materializes keys with the package's resolved backend,
+        # so the expected key must come from that same backend (a python-
+        # backend object and a native one are distinct key identities).
+        import shortseq_tpu
+
         counts = ShortSeqCounter([seq_bytes] * 10)
-        assert counts == {sq.pack("ATGC"): 10}
+        assert counts == {shortseq_tpu.pack("ATGC"): 10}
