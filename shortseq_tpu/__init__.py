@@ -49,6 +49,8 @@ from .api import (
     BACKEND,
 )
 
+from .batch import PackedBatch, pack_batch
+
 MIN_VAR_NT, MAX_VAR_NT = get_domain_var()
 MIN_192_NT, MAX_192_NT = get_domain_192()
 MIN_64_NT, MAX_64_NT = get_domain_64()
@@ -61,4 +63,5 @@ __all__ = [
     "ShortSeqCounter", "read_and_count_fastq",
     "MIN_64_NT", "MAX_64_NT", "MIN_192_NT", "MAX_192_NT",
     "MIN_VAR_NT", "MAX_VAR_NT", "BACKEND",
+    "PackedBatch", "pack_batch",
 ]

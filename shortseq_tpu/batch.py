@@ -1,0 +1,205 @@
+"""PackedBatch - the TPU-first unit of work.
+
+The reference's unit is one Python object; the TPU-native unit is a
+structure-of-arrays batch (SURVEY.md section 7 decision 1): `[N, W]`
+uint32 packed lanes plus `[N]` lengths, living on device.  Everything the
+scalar objects do (pack, decode, hamming, slice, count) exists here as a
+batched op, which is where the throughput targets are met; the scalar
+ShortSeq objects are the ergonomic facade on top.
+
+All ops keep static shapes (width is fixed per batch, rows zero-padded
+past their length) so XLA compiles each program once per bucket shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import (
+    MAX_VAR_NT,
+    NT_PER_LANE,
+    TOO_LONG_MSG,
+    UNSUPPORTED_BASE_MSG,
+    lanes_for_length,
+)
+
+
+def _ascii_matrix(seqs, width=None):
+    """List of str/bytes -> zero-padded uint8 matrix + lengths."""
+    norm = [s.encode("ascii") if isinstance(s, str) else bytes(s)
+            for s in seqs]
+    max_len = max((len(s) for s in norm), default=0)
+    if max_len > MAX_VAR_NT:
+        raise Exception(TOO_LONG_MSG)
+    if width is None:
+        width = max(NT_PER_LANE, -(-max_len // NT_PER_LANE) * NT_PER_LANE)
+    if width % NT_PER_LANE:
+        raise ValueError(f"width must be a multiple of {NT_PER_LANE}")
+    if max_len > width:
+        raise ValueError(f"width {width} is too small for a {max_len} nt read")
+    mat = np.zeros((len(norm), width), np.uint8)
+    lengths = np.zeros(len(norm), np.int32)
+    for i, s in enumerate(norm):
+        mat[i, :len(s)] = np.frombuffer(s, np.uint8)
+        lengths[i] = len(s)
+    return mat, lengths
+
+
+@partial(jax.jit, static_argnames=("out_width",))
+def _trim_words(words, lengths, start, length, out_width):
+    """Batched subsequence extraction on packed lanes: unpack to 2-bit
+    codes, shift, re-pack - all elementwise/reshape work that XLA fuses
+    into one pass (the batched analog of the scalar funnel-shift slicing
+    engine, reference short_seq.pyx:202-238)."""
+    from .ops.bitpack import pack_words, unpack_ascii
+
+    ascii_codes = unpack_ascii(words)                  # [N, 16W] ASCII
+    n, l = ascii_codes.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    src = pos + start
+    take = jnp.take_along_axis(
+        ascii_codes, jnp.minimum(src, l - 1), axis=1)
+    new_len = jnp.clip(length, 0, jnp.maximum(lengths - start, 0))
+    keep = pos < new_len[:, None]
+    out = jnp.where(keep, take, 0)
+    return pack_words(out[:, :out_width * 16]), new_len.astype(jnp.int32)
+
+
+@dataclass(frozen=True)
+class PackedBatch:
+    """[N, W] uint32 packed lanes + [N] int32 lengths (device arrays)."""
+
+    words: jax.Array
+    lengths: jax.Array
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_seqs(cls, seqs, width: int | None = None) -> "PackedBatch":
+        """Pack a list of str/bytes, validating every base on device and
+        raising the reference's error (short_seq_64.pyx:105) on failure."""
+        from .ops.bitpack import pack_and_validate
+        from .utils.warmup import start_transfer_warmup
+
+        mat, lengths = _ascii_matrix(seqs, width)
+        if len(seqs) == 0:
+            return cls(jnp.zeros((0, 1), jnp.uint32), jnp.asarray(lengths))
+        start_transfer_warmup()
+        words, ok = pack_and_validate(jnp.asarray(mat), jnp.asarray(lengths))
+        ok = np.asarray(ok)
+        if not ok.all():
+            i = int(np.argmin(ok))
+            bad = next(chr(c) for c in mat[i, :lengths[i]]
+                       if chr(c) not in "ACGT")
+            raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
+        return cls(words, jnp.asarray(lengths))
+
+    @classmethod
+    def from_matrix(cls, mat, lengths) -> "PackedBatch":
+        """Pack an already-padded uint8 ASCII matrix (e.g. straight from
+        io.read_fastq_matrix) without validation."""
+        from .ops.bitpack import pack_words
+
+        return cls(pack_words(jnp.asarray(mat)),
+                   jnp.asarray(lengths, dtype=jnp.int32))
+
+    # -- shape ---------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.words.shape[0]
+
+    @property
+    def width_lanes(self) -> int:
+        return self.words.shape[1]
+
+    def __getitem__(self, item) -> "PackedBatch":
+        """Row selection (int/slice/array) -> sub-batch."""
+        if isinstance(item, int):
+            item = slice(item, item + 1)
+        return PackedBatch(self.words[item], self.lengths[item])
+
+    # -- ops -----------------------------------------------------------------
+
+    def hamming(self, other: "PackedBatch") -> jax.Array:
+        """Row-wise hamming distances `[N]`; lengths must match row-wise
+        (the batched form of the scalar `^`, reference
+        short_seq_64.pyx:77-84)."""
+        from .ops.hamming import hamming_rows
+
+        if np.asarray(self.lengths != other.lengths).any():
+            from .constants import LENGTH_MISMATCH_MSG
+
+            raise Exception(LENGTH_MISMATCH_MSG)
+        return hamming_rows(self.words, other.words)
+
+    def pairwise(self, other: "PackedBatch | None" = None) -> jax.Array:
+        """All-pairs hamming `[N, M]` (tiled Pallas kernel on TPU)."""
+        from .ops import pairwise_hamming_auto
+
+        other = self if other is None else other
+        return pairwise_hamming_auto(self.words, other.words)
+
+    def trim(self, start: int, length: int) -> "PackedBatch":
+        """Batched subsequence: rows become seq[start:start+length]
+        (clamped per-row), e.g. adapter/UMI clipping."""
+        out_width = lanes_for_length(min(length, self.width_lanes * 16))
+        words, lengths = _trim_words(
+            self.words, self.lengths, start, length, max(out_width, 1))
+        return PackedBatch(words, lengths)
+
+    def counts(self):
+        """Exact dedup of this batch -> ShortSeqCounter (device sort-unique,
+        count/device.py)."""
+        from .api import from_blocks
+        from .api.counter import ShortSeqCounter
+        from .count import count_batch
+        from .count.device import counts_to_host
+
+        table = counts_to_host(*count_batch(self.words, self.lengths))
+        out = ShortSeqCounter()
+        setter = dict.__setitem__
+        for (length, blocks), count in table:
+            setter(out, from_blocks(blocks, length), count)
+        return out
+
+    # -- materialization -----------------------------------------------------
+
+    def decode(self) -> list:
+        """Batched lazy decode -> list of str (device unpack + one host
+        transfer; the batched form of str(seq), reference
+        short_seq_64.pyx:114-121)."""
+        from .ops.bitpack import unpack_ascii
+
+        if len(self) == 0:
+            return []
+        ascii_mat = np.asarray(unpack_ascii(self.words))
+        lengths = np.asarray(self.lengths)
+        return [ascii_mat[i, :lengths[i]].tobytes().decode("ascii")
+                for i in range(len(lengths))]
+
+    def to_objects(self) -> list:
+        """Materialize scalar ShortSeq objects (native extension when
+        built) directly from the packed words - no re-encoding."""
+        from .api import from_blocks
+
+        words = np.asarray(self.words).astype(np.uint64)
+        if words.shape[1] % 2:  # odd lane count: pad to a full 64-bit block
+            words = np.pad(words, ((0, 0), (0, 1)))
+        lengths = np.asarray(self.lengths)
+        blocks64 = words[:, 0::2] | (words[:, 1::2] << np.uint64(32))
+        out = []
+        for i, length in enumerate(lengths):
+            nblocks = max(1, -(-int(length) // 32))
+            out.append(from_blocks(
+                tuple(int(b) for b in blocks64[i, :nblocks]), int(length)))
+        return out
+
+
+def pack_batch(seqs, width: int | None = None) -> PackedBatch:
+    """Convenience: PackedBatch.from_seqs."""
+    return PackedBatch.from_seqs(seqs, width)

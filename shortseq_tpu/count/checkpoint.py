@@ -1,0 +1,91 @@
+"""Count-table checkpoint / resume.
+
+The reference is a pure in-memory library with no persistence (SURVEY.md
+section 5).  For multi-shard / multi-host dedup runs, partial count tables
+are the natural checkpoint unit: counting is associative, so resume is
+"load the spilled tables and keep merging" - a crashed run never recounts
+finished shards.
+
+Format: one .npz per (host, shard) with the padded device table arrays
+plus n_unique; merging N checkpoints = concatenate + one unique_count.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def save_table(path, u_words, u_lengths, u_counts, n_unique) -> None:
+    """Spill a device count table (padded arrays straight from
+    unique_count) to `path` (.npz, atomic via rename)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = int(n_unique)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez_compressed(
+        tmp,
+        words=np.asarray(u_words)[:n],
+        lengths=np.asarray(u_lengths)[:n],
+        counts=np.asarray(u_counts)[:n])
+    os.replace(tmp, path)
+
+
+def load_table(path):
+    """Load a spilled table -> (words [M, W] uint32, lengths [M] int32,
+    counts [M] int32) host arrays."""
+    with np.load(path) as z:
+        return z["words"], z["lengths"], z["counts"]
+
+
+def shard_path(directory, host: int, shard: int) -> Path:
+    return Path(directory) / f"counts_h{host:04d}_s{shard:06d}.npz"
+
+
+def completed_shards(directory, host: int):
+    """Shard indices already checkpointed for `host` (for resume)."""
+    directory = Path(directory)
+    if not directory.is_dir():
+        return set()
+    prefix = f"counts_h{host:04d}_s"
+    out = set()
+    for p in directory.glob(f"{prefix}*.npz"):
+        try:
+            out.add(int(p.stem[len(prefix):]))
+        except ValueError:
+            continue
+    return out
+
+
+def merge_tables(paths, n_out: int | None = None):
+    """Merge spilled tables exactly: concatenate + one device unique_count.
+    Returns (u_words, u_lengths, u_counts, n_unique) device arrays."""
+    import jax.numpy as jnp
+
+    from .device import unique_count
+
+    words_list, len_list, cnt_list = [], [], []
+    width = 0
+    for p in paths:
+        w, l, c = load_table(p)
+        width = max(width, w.shape[1] if w.size else 0)
+        words_list.append(w)
+        len_list.append(l)
+        cnt_list.append(c)
+    total = sum(len(l) for l in len_list)
+    if total == 0:
+        z = jnp.zeros((1, max(width, 1)), jnp.uint32)
+        return z, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.int32(0)
+    words = np.zeros((total, width), np.uint32)
+    lengths = np.empty(total, np.int32)
+    counts = np.empty(total, np.int32)
+    row = 0
+    for w, l, c in zip(words_list, len_list, cnt_list):
+        words[row:row + len(l), :w.shape[1]] = w
+        lengths[row:row + len(l)] = l
+        counts[row:row + len(l)] = c
+        row += len(l)
+    return unique_count(jnp.asarray(words), jnp.asarray(lengths),
+                        jnp.asarray(counts), n_out=n_out)

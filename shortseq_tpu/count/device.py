@@ -113,6 +113,8 @@ def counts_to_host(u_words, u_lengths, u_counts, n_unique):
     # distinct value, which dwarfs the copy cost for these tables.
     n = int(n_unique)
     w = np.asarray(u_words)[:n].astype(np.uint64)
+    if w.shape[1] % 2:  # odd lane count: pad to a full 64-bit block
+        w = np.pad(w, ((0, 0), (0, 1)))
     lens = np.asarray(u_lengths)[:n]
     cnts = np.asarray(u_counts)[:n]
     blocks64 = w[:, 0::2] | (w[:, 1::2] << np.uint64(32))

@@ -1,0 +1,180 @@
+"""Streaming multi-shard / multi-host FASTQ dedup pipeline.
+
+The production form of read_and_count_fastq (SURVEY.md section 3.5 "north
+star"): the file is split into byte-range shards (native sharder,
+csrc/fastq_index.cpp ssq_fastq_sync), each shard is packed and counted on
+device in fixed-size padded batches (one compiled program per bucket), the
+partial tables are optionally checkpointed (count/checkpoint.py, resume =
+skip completed shards), and the final table is one associative merge.
+
+Multi-host: host h processes shards h, h+H, h+2H...; each host spills its
+tables to the shared checkpoint directory and host 0 merges.  Single-host
+runs do the same loop in-process, so the code path is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+
+def _batched_count_tables(mat, lengths, config: PipelineConfig):
+    """Yield device count tables for one shard's read matrix, one padded
+    batch per width bucket per batch_size chunk."""
+    import jax.numpy as jnp
+
+    from ..constants import MAX_64_NT, MAX_192_NT, MAX_VAR_NT, TOO_LONG_MSG
+    from ..count import unique_count
+    from ..count.device import PAD_LENGTH
+    from ..ops.bitpack import pack_and_validate
+
+    if len(lengths) and int(np.max(lengths)) > MAX_VAR_NT:
+        raise Exception(TOO_LONG_MSG)
+
+    edges = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
+             (MAX_192_NT, MAX_VAR_NT, 1024)]
+    for lo, hi, width in edges:
+        sel = (lengths > lo) & (lengths <= hi)
+        if lo == 0:
+            sel |= lengths == 0
+        if not sel.any():
+            continue
+        rows_all = mat[sel][:, :width] if mat.shape[1] >= width \
+            else np.pad(mat[sel], ((0, 0), (0, width - mat.shape[1])))
+        len_all = lengths[sel].astype(np.int32)
+        bs = config.batch_size
+        for off in range(0, len(len_all), bs):
+            rows = rows_all[off:off + bs]
+            sub_len = len_all[off:off + bs]
+            m = len(sub_len)
+            m_pad = max(config.min_batch_pad, 1 << (m - 1).bit_length())
+            if m_pad != m:
+                rows = np.pad(rows, ((0, m_pad - m), (0, 0)))
+                sub_len = np.pad(sub_len, (0, m_pad - m),
+                                 constant_values=PAD_LENGTH)
+            val_len = np.where(
+                sub_len == PAD_LENGTH, 0, sub_len).astype(np.int32)
+            words, ok = pack_and_validate(
+                jnp.asarray(rows), jnp.asarray(val_len))
+            ok = np.asarray(ok)[:m]
+            if not ok.all():
+                from ..constants import UNSUPPORTED_BASE_MSG
+
+                i = int(np.argmin(ok))
+                bad = next(chr(c) for c in rows[i, :val_len[i]]
+                           if chr(c) not in "ACGT")
+                raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
+            yield unique_count(words, jnp.asarray(sub_len),
+                               jnp.ones(m_pad, jnp.int32))
+
+
+def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
+                        n_hosts: int = 1,
+                        config: PipelineConfig = DEFAULT_CONFIG):
+    """Count `filename`'s reads across byte-range shards; this host
+    processes shards host, host+n_hosts, ...  Returns the merged device
+    table for THIS host's shards (merge across hosts with
+    count/checkpoint.merge_tables or dist.count_sharded).
+
+    With config.checkpoint_dir set, each shard's table is spilled after
+    counting and completed shards are skipped on resume.
+    """
+    from ..count.checkpoint import (completed_shards, merge_tables,
+                                    save_table, shard_path)
+    from ..io.fastq import read_fastq_matrix
+    from ..utils.warmup import start_transfer_warmup
+
+    start_transfer_warmup()
+    size = os.path.getsize(filename)
+    ckpt = config.checkpoint_dir
+    done = completed_shards(ckpt, host) if ckpt else set()
+
+    tables = []  # in-memory host tables for non-checkpointed runs
+    paths = []
+    for shard in range(host, n_shards, n_hosts):
+        if shard in done:
+            paths.append(shard_path(ckpt, host, shard))
+            continue
+        lo = shard * size // n_shards
+        hi = (shard + 1) * size // n_shards
+        mat, lengths = read_fastq_matrix(filename, byte_range=(lo, hi))
+        shard_tables = list(_batched_count_tables(mat, lengths, config))
+        if ckpt:
+            merged = _merge_device_tables(shard_tables)
+            p = shard_path(ckpt, host, shard)
+            save_table(p, *merged)
+            paths.append(p)
+        else:
+            tables.extend(
+                _table_to_host(t) for t in shard_tables)
+    if ckpt:
+        return merge_tables(paths)
+    return _merge_host_tables(tables)
+
+
+def _table_to_host(table):
+    u_words, u_lengths, u_counts, n_unique = table
+    n = int(n_unique)
+    return (np.asarray(u_words)[:n], np.asarray(u_lengths)[:n],
+            np.asarray(u_counts)[:n])
+
+
+def _merge_device_tables(tables):
+    """Merge a list of same-width device tables into one."""
+    import jax.numpy as jnp
+
+    from ..count import unique_count
+
+    if len(tables) == 1:
+        return tables[0]
+    host = [_table_to_host(t) for t in tables]
+    return _merge_host_tuples_device(host)
+
+
+def _merge_host_tables(tables):
+    if not tables:
+        import jax.numpy as jnp
+
+        z = jnp.zeros((1, 1), jnp.uint32)
+        return z, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.int32(0)
+    return _merge_host_tuples_device(tables)
+
+
+def _merge_host_tuples_device(host_tables):
+    import jax.numpy as jnp
+
+    from ..count import unique_count
+
+    widths = [w.shape[1] for w, _, _ in host_tables if w.size]
+    width = max(widths) if widths else 1
+    total = sum(len(l) for _, l, _ in host_tables)
+    if total == 0:
+        z = jnp.zeros((1, width), jnp.uint32)
+        return z, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.int32(0)
+    words = np.zeros((total, width), np.uint32)
+    lengths = np.empty(total, np.int32)
+    counts = np.empty(total, np.int32)
+    row = 0
+    for w, l, c in host_tables:
+        words[row:row + len(l), :w.shape[1]] = w
+        lengths[row:row + len(l)] = l
+        counts[row:row + len(l)] = c
+        row += len(l)
+    return unique_count(jnp.asarray(words), jnp.asarray(lengths),
+                        jnp.asarray(counts))
+
+
+def table_to_counter(table):
+    """Merged device table -> reference-identical ShortSeqCounter."""
+    from ..api import from_blocks
+    from ..api.counter import ShortSeqCounter
+    from ..count.device import counts_to_host
+
+    out = ShortSeqCounter()
+    setter = dict.__setitem__
+    for (length, blocks), count in counts_to_host(*table):
+        setter(out, from_blocks(blocks, length), count)
+    return out

@@ -59,6 +59,14 @@ def load():
         _tried = True
         if os.environ.get("SHORTSEQ_TPU_FORCE_PYTHON", "") == "1":
             return None
+        # Prefer an installed/in-place extension (setup.py build_ext).
+        try:
+            from shortseq_tpu import _native as mod  # type: ignore
+
+            _module = mod
+            return _module
+        except ImportError:
+            pass
         so = _build()
         if so is None:
             return None
