@@ -100,6 +100,19 @@ def count_batch(words: jax.Array, lengths: jax.Array):
     return unique_count(words, lengths, jnp.ones(words.shape[0], jnp.int32))
 
 
+def counts_to_host_scattered(u_words, u_lengths, u_counts):
+    """Like counts_to_host for tables whose live rows are NOT contiguous
+    (e.g. the bucketed-exchange merge gathers per-device compact tables
+    with padding between segments): filters by the PAD_LENGTH sentinel
+    instead of slicing a prefix."""
+    import numpy as np
+
+    lens = np.asarray(u_lengths)
+    live = np.flatnonzero(lens != int(PAD_LENGTH))
+    w = np.asarray(u_words)[live]
+    return _rows_to_table(w, lens[live], np.asarray(u_counts)[live])
+
+
 def counts_to_host(u_words, u_lengths, u_counts, n_unique):
     """Device count table -> list of ((length, blocks tuple), count) on host.
 
@@ -112,14 +125,19 @@ def counts_to_host(u_words, u_lengths, u_counts, n_unique):
     # the data-dependent n_unique would compile a fresh XLA program per
     # distinct value, which dwarfs the copy cost for these tables.
     n = int(n_unique)
-    w = np.asarray(u_words)[:n].astype(np.uint64)
+    return _rows_to_table(np.asarray(u_words)[:n], np.asarray(u_lengths)[:n],
+                          np.asarray(u_counts)[:n])
+
+
+def _rows_to_table(w, lens, cnts):
+    import numpy as np
+
+    w = w.astype(np.uint64)
     if w.shape[1] % 2:  # odd lane count: pad to a full 64-bit block
         w = np.pad(w, ((0, 0), (0, 1)))
-    lens = np.asarray(u_lengths)[:n]
-    cnts = np.asarray(u_counts)[:n]
     blocks64 = w[:, 0::2] | (w[:, 1::2] << np.uint64(32))
     out = []
-    for i in range(n):
+    for i in range(len(lens)):
         length = int(lens[i])
         nblocks = max(1, -(-length // 32))
         out.append(((length, tuple(int(b) for b in blocks64[i, :nblocks])),

@@ -8,9 +8,9 @@ mesh axis, with per-shard sort-unique count tables merged by an
 """
 
 from .mesh import data_mesh, initialize_distributed
-from .count import count_sharded, make_sharded_counter
+from .count import count_sharded, count_sharded_bucketed, make_sharded_counter
 
 __all__ = [
     "data_mesh", "initialize_distributed",
-    "count_sharded", "make_sharded_counter",
+    "count_sharded", "count_sharded_bucketed", "make_sharded_counter",
 ]

@@ -18,10 +18,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..count.device import unique_count
+from ..count.device import PAD_LENGTH, unique_count
 from ..ops.bitpack import pack_words, validate
 
 
@@ -42,6 +43,105 @@ def count_sharded(mesh: Mesh):
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
         out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def _bucket_hash(words, lengths, n_buckets):
+    """Cheap uniform bucket id per row from the packed key.  Fibonacci
+    multiplicative hash over the XOR of lanes + length; n_buckets is the
+    mesh size (power of two on TPU meshes)."""
+    h = lengths.astype(jnp.uint32)
+    for j in range(words.shape[1]):
+        h = h ^ words[:, j]
+    h = h * jnp.uint32(2654435761)
+    return (h >> jnp.uint32(32 - max(n_buckets - 1, 1).bit_length())) \
+        % jnp.uint32(n_buckets)
+
+
+def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0):
+    """Scalable sharded counter: instead of replicating every shard's table
+    on every device (all_gather + re-sort of N*D rows per device,
+    count_sharded above), keys are exchanged by hash bucket with
+    all_to_all so each device dedups a DISJOINT key range - per-device
+    merge work stays O(N/D log N/D) regardless of device count.
+
+    Rows are routed to bucket h(key) % D with per-destination capacity
+    ceil(N/D * capacity_factor); an overflow flag is returned (True means
+    a pathological key skew exceeded capacity and the caller must fall
+    back to count_sharded, which is always exact).
+
+    Returns a jitted fn: (words [N, W], lengths [N], weights [N]) ->
+    (u_words, u_lengths, u_counts, n_unique, overflowed) where the table
+    rows live sharded over the mesh (gather them per bucket or reduce
+    further); here they are all_gathered once at the end for a replicated
+    result, which is cheap because the tables are already deduplicated
+    AND disjoint (no re-sort needed - plain concatenation).
+    """
+    n_dev = mesh.devices.size
+
+    def body(words, lengths, weights):
+        n, w = words.shape
+        # Mean load is n/D; the factor covers hash skew at scale and the
+        # +16 constant covers small-shard balls-in-bins variance (expected
+        # max load of m balls in D bins is m/D + O(sqrt(m/D log D))).
+        cap = min(n, int(np.ceil(n / n_dev * capacity_factor)) + 16)
+        bucket = _bucket_hash(words, lengths, n_dev)
+
+        # Stable sort rows by destination bucket, then slot rows into a
+        # [D, cap, ...] send buffer; row r of its bucket goes to slot r.
+        order = jnp.argsort(bucket, stable=True)
+        s_bucket = bucket[order]
+        s_words = words[order]
+        s_lengths = lengths[order]
+        s_weights = weights[order]
+        # rank within bucket = position - first position of that bucket
+        pos = jnp.arange(n)
+        first = jnp.searchsorted(s_bucket, jnp.arange(n_dev, dtype=s_bucket.dtype))
+        rank = pos - first[s_bucket]
+        overflow = jnp.any(rank >= cap)
+        # Overflow rows scatter out of bounds and are dropped (the flag
+        # tells the caller the whole result must be discarded).
+        dest = jnp.where(rank < cap,
+                         s_bucket.astype(jnp.int32) * cap + rank,
+                         n_dev * cap)
+
+        send_words = jnp.zeros((n_dev * cap, w), jnp.uint32).at[dest].set(
+            s_words, mode="drop")
+        send_lengths = jnp.full(
+            (n_dev * cap,), PAD_LENGTH, jnp.int32).at[dest].set(
+            s_lengths, mode="drop")
+        send_weights = jnp.zeros((n_dev * cap,), jnp.int32).at[dest].set(
+            s_weights, mode="drop")
+
+        # all_to_all: device d receives every device's bucket-d slab.
+        def a2a(x):
+            parts = x.reshape(n_dev, cap, *x.shape[1:])
+            return jax.lax.all_to_all(
+                parts, "data", split_axis=0, concat_axis=0, tiled=False
+            ).reshape(n_dev * cap, *x.shape[1:])
+
+        r_words = a2a(send_words)
+        r_lengths = a2a(send_lengths)
+        r_weights = a2a(send_weights)
+
+        # Local dedup of this device's disjoint key range.
+        u_w, u_l, u_c, n_u = unique_count(r_words, r_lengths, r_weights)
+
+        # Replicate the (already-disjoint, deduplicated) tables.
+        g_w = jax.lax.all_gather(u_w, "data", tiled=True)
+        g_l = jax.lax.all_gather(u_l, "data", tiled=True)
+        g_c = jax.lax.all_gather(u_c, "data", tiled=True)
+        total = jax.lax.psum(n_u, "data")
+        any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
+        return g_w, g_l, g_c, total, any_overflow
+
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped)

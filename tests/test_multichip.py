@@ -46,6 +46,18 @@ words = pack_words(jnp.asarray(ascii_mat))
 local = dict(counts_to_host(*count_batch(words, jnp.asarray(lengths))))
 assert sharded == local, (len(sharded), len(local))
 assert sum(sharded.values()) == n
+
+# Bucketed-exchange (all_to_all) merge must agree with the all_gather merge.
+from shortseq_tpu.count.device import counts_to_host_scattered
+from shortseq_tpu.dist import count_sharded_bucketed
+
+step_b = count_sharded_bucketed(data_mesh())
+ones = jnp.ones(n, jnp.int32)
+u_w, u_l, u_c, n_u, overflow = step_b(words, jnp.asarray(lengths), ones)
+assert int(overflow) == 0
+bucketed = dict(counts_to_host_scattered(u_w, u_l, u_c))
+assert bucketed == local, (len(bucketed), len(local))
+assert int(n_u) == len(local)
 print("MULTICHIP-OK", len(sharded))
 """
 

@@ -1,0 +1,69 @@
+"""Sanitizer job for the native host code (SURVEY.md section 5: the
+device side is data-race-free by construction under XLA; the C++ sharder
+is the one component with real threads, so it gets ASan/TSan coverage).
+
+Each test builds csrc/fastq_index.cpp with a sanitizer into a standalone
+binary exercising the multi-threaded index/gather/pack paths and asserts a
+clean exit.  Skipped when the toolchain lacks sanitizer runtimes."""
+
+import subprocess
+import textwrap
+from pathlib import Path
+
+import pytest
+
+CSRC = Path(__file__).resolve().parent.parent / "csrc" / "fastq_index.cpp"
+
+HARNESS = textwrap.dedent("""
+    #include <cstdint>
+    #include <cstring>
+    #include <string>
+    #include <vector>
+    extern "C" {
+      int64_t ssq_count_lines(const char*, int64_t);
+      int64_t ssq_fastq_index(const char*, int64_t, int64_t*, int32_t*, int64_t);
+      void ssq_gather_padded(const char*, const int64_t*, const int32_t*,
+                             int64_t, int64_t, uint8_t*);
+      int64_t ssq_fastq_sync(const char*, int64_t, int64_t);
+      int64_t ssq_pack_rows(const uint8_t*, const int32_t*, int64_t, int64_t,
+                            uint32_t*);
+    }
+    int main() {
+      std::string fq;
+      for (int i = 0; i < 20000; ++i)
+        fq += "@r" + std::to_string(i) + "\\nACGTACGTACGTACGT\\n+\\n@IIIIIIIIIIIIIII\\n";
+      int64_t n = (int64_t)fq.size();
+      if (ssq_count_lines(fq.data(), n) != 80000) return 1;
+      std::vector<int64_t> starts(20001);
+      std::vector<int32_t> lengths(20001);
+      int64_t reads = ssq_fastq_index(fq.data(), n, starts.data(),
+                                      lengths.data(), 20001);
+      if (reads != 20000) return 2;
+      std::vector<uint8_t> mat(reads * 16);
+      ssq_gather_padded(fq.data(), starts.data(), lengths.data(), reads, 16,
+                        mat.data());
+      if (memcmp(mat.data(), "ACGTACGTACGTACGT", 16) != 0) return 3;
+      std::vector<uint32_t> words(reads * 1);
+      if (ssq_pack_rows(mat.data(), lengths.data(), reads, 16, words.data()))
+        return 4;
+      if (ssq_fastq_sync(fq.data(), n, 1) == 0) return 5;
+      return 0;
+    }
+""")
+
+
+@pytest.mark.parametrize("flag", ["address", "thread"])
+def test_native_sharder_under_sanitizer(flag, tmp_path):
+    harness = tmp_path / "harness.cpp"
+    harness.write_text(HARNESS)
+    binary = tmp_path / f"harness_{flag}"
+    build = subprocess.run(
+        ["g++", "-O1", "-g", f"-fsanitize={flag}", "-std=c++17", "-pthread",
+         str(CSRC), str(harness), "-o", str(binary)],
+        capture_output=True, text=True, timeout=180)
+    if build.returncode != 0:
+        pytest.skip(f"sanitizer build unavailable: {build.stderr[-200:]}")
+    run = subprocess.run([str(binary)], capture_output=True, text=True,
+                         timeout=300)
+    assert run.returncode == 0, (run.returncode, run.stderr[-3000:])
+    assert "ERROR" not in run.stderr
