@@ -17,7 +17,7 @@ kernel) pairs/s, end-to-end dedup reads/s - the BASELINE.json metric list.
 
 import json
 import time
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ the bit-exact parity contract (constants.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

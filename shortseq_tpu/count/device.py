@@ -105,12 +105,15 @@ def counts_to_host_scattered(u_words, u_lengths, u_counts):
     (e.g. the bucketed-exchange merge gathers per-device compact tables
     with padding between segments): filters by the PAD_LENGTH sentinel
     instead of slicing a prefix."""
+    import jax
     import numpy as np
 
+    u_words, u_lengths, u_counts = jax.device_get(
+        (u_words, u_lengths, u_counts))  # one round trip, not three
     lens = np.asarray(u_lengths)
     live = np.flatnonzero(lens != int(PAD_LENGTH))
-    w = np.asarray(u_words)[live]
-    return _rows_to_table(w, lens[live], np.asarray(u_counts)[live])
+    return _rows_to_table(np.asarray(u_words)[live], lens[live],
+                          np.asarray(u_counts)[live])
 
 
 def counts_to_host(u_words, u_lengths, u_counts, n_unique):
@@ -123,7 +126,13 @@ def counts_to_host(u_words, u_lengths, u_counts, n_unique):
 
     # Transfer the full padded arrays and slice on host: device-slicing by
     # the data-dependent n_unique would compile a fresh XLA program per
-    # distinct value, which dwarfs the copy cost for these tables.
+    # distinct value, which dwarfs the copy cost for these tables.  One
+    # device_get for everything: round trips through a tunneled runtime
+    # cost tens of ms each.
+    import jax
+
+    u_words, u_lengths, u_counts, n_unique = jax.device_get(
+        (u_words, u_lengths, u_counts, n_unique))
     n = int(n_unique)
     return _rows_to_table(np.asarray(u_words)[:n], np.asarray(u_lengths)[:n],
                           np.asarray(u_counts)[:n])

@@ -9,8 +9,12 @@ mesh axis, with per-shard sort-unique count tables merged by an
 
 from .mesh import data_mesh, initialize_distributed
 from .count import count_sharded, count_sharded_bucketed, make_sharded_counter
+from .pipeline import (count_fastq_sharded, read_and_count_fastq_distributed,
+                       table_to_counter)
 
 __all__ = [
     "data_mesh", "initialize_distributed",
     "count_sharded", "count_sharded_bucketed", "make_sharded_counter",
+    "count_fastq_sharded", "read_and_count_fastq_distributed",
+    "table_to_counter",
 ]

@@ -14,7 +14,7 @@ the merged table is padded to N * n_devices rows.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -167,6 +167,64 @@ def _merge_host_tuples_device(host_tables):
                         jnp.asarray(counts))
 
 
+def read_and_count_fastq_distributed(filename, n_shards: int | None = None,
+                                     config: PipelineConfig = DEFAULT_CONFIG):
+    """Multi-host entry point: every host calls this with the same
+    filename; host h parses and counts its byte-range shards locally, then
+    the per-host tables are merged exactly with one collective pass over
+    the global `data` mesh (count_sharded: all_gather of deduplicated
+    tables + re-unique).  Returns the replicated merged device table.
+
+    Single-process runs degenerate to count_fastq_sharded with no merge,
+    so this is also the simplest correct entry point everywhere.
+    """
+    import jax
+
+    from .count import count_sharded
+    from .mesh import data_mesh, initialize_distributed
+
+    initialize_distributed()
+    host, n_hosts = jax.process_index(), jax.process_count()
+    if n_shards is None:
+        n_shards = max(1, n_hosts)
+    local = count_fastq_sharded(filename, n_shards=n_shards, host=host,
+                                n_hosts=n_hosts, config=config)
+    if n_hosts == 1:
+        return local
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..count.device import PAD_LENGTH
+
+    w, l, c = _table_to_host(local)
+    # Agree on a common per-host row count (tables differ per host) and a
+    # common lane width, then build a global [hosts*rows, W] array with
+    # each host contributing its padded slab.
+    sizes = multihost_utils.process_allgather(
+        np.asarray([len(l), w.shape[1] if w.size else 1], np.int64))
+    rows = int(sizes[:, 0].max())
+    width = int(sizes[:, 1].max())
+    # Round rows up so the global batch divides the mesh evenly.
+    dev_per_host = len(jax.local_devices())
+    rows = -(-rows // dev_per_host) * dev_per_host
+
+    w_pad = np.zeros((rows, width), np.uint32)
+    l_pad = np.full(rows, PAD_LENGTH, np.int32)
+    c_pad = np.zeros(rows, np.int32)
+    w_pad[:len(l), :w.shape[1]] = w
+    l_pad[:len(l)] = l
+    c_pad[:len(l)] = c
+
+    mesh = data_mesh()
+    sharding = NamedSharding(mesh, P("data"))
+    g_w = jax.make_array_from_process_local_data(sharding, w_pad)
+    g_l = jax.make_array_from_process_local_data(sharding, l_pad)
+    g_c = jax.make_array_from_process_local_data(sharding, c_pad)
+    return count_sharded(mesh)(g_w, g_l, g_c)
+
+
 def table_to_counter(table):
     """Merged device table -> reference-identical ShortSeqCounter."""
     from ..api import from_blocks

@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import NT_PER_LANE
+
 
 _U32 = jnp.uint32
 _EVEN_BITS_32 = jnp.uint32(0x55555555)

@@ -11,7 +11,7 @@ blocks: nucleotide i lives in block i // 32 at bit offset 2 * (i % 32).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 from .constants import (
     BLOOM,

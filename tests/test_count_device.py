@@ -4,7 +4,7 @@
 import collections
 
 import numpy as np
-import pytest
+
 
 from tests.conftest import rand_sequence
 

@@ -124,3 +124,13 @@ class TestShardedPipeline:
         cfg = PipelineConfig(batch_size=64, min_batch_pad=64)
         table = count_fastq_sharded(path, config=cfg)
         assert _as_dict(table) == dict(collections.Counter(reads))
+
+    def test_distributed_entry_single_process(self, fastq):
+        # n_hosts == 1 degenerates to count_fastq_sharded; the multi-host
+        # merge branch needs a multi-controller run (pod slice) and is
+        # exercised there.
+        from shortseq_tpu.dist import read_and_count_fastq_distributed
+
+        path, reads = fastq
+        table = read_and_count_fastq_distributed(path)
+        assert _as_dict(table) == dict(collections.Counter(reads))
