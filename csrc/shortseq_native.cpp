@@ -294,6 +294,25 @@ static PyObject* ss_subscript(PyObject* self, PyObject* item) {
   return nullptr;
 }
 
+static PyObject* ss_seq_item(PyObject* self, Py_ssize_t index) {
+  // sq_item slot: powers the legacy iteration protocol (iter(seq),
+  // zip(a, b) - used by the reference's own README/test code), falling
+  // back to per-base ShortSeq64s until IndexError.  Indexing expressions
+  // go through mp_subscript instead (mapping slot wins).
+  uint64_t scratch;
+  const uint64_t* blocks = get_blocks(self, &scratch);
+  Py_ssize_t length = get_length(self);
+  if (index < 0 || index >= length) {
+    PyErr_SetString(PyExc_IndexError, "Sequence index out of range");
+    return nullptr;
+  }
+  SS64* o = PyObject_New(SS64, &SS64_Type);
+  if (!o) return nullptr;
+  o->packed = (blocks[index / kNtPerBlock] >> (2 * (index % kNtPerBlock))) & 3;
+  o->length = 1;
+  return (PyObject*)o;
+}
+
 static PyObject* ss_xor(PyObject* self, PyObject* other) {
   if (!is_shortseq(self) || Py_TYPE(other) != Py_TYPE(self)) {
     PyErr_Format(PyExc_TypeError,
@@ -378,6 +397,13 @@ static PyNumberMethods ss_as_number = []() {
 
 static PyMappingMethods ss_as_mapping = {ss_len, ss_subscript, nullptr};
 
+static PySequenceMethods ss_as_sequence = []() {
+  PySequenceMethods m = {};
+  m.sq_length = ss_len;
+  m.sq_item = ss_seq_item;
+  return m;
+}();
+
 static PyTypeObject make_type(const char* name, Py_ssize_t basicsize,
                               PyMethodDef* methods, destructor dealloc) {
   PyTypeObject t = {PyVarObject_HEAD_INIT(nullptr, 0)};
@@ -386,6 +412,7 @@ static PyTypeObject make_type(const char* name, Py_ssize_t basicsize,
   t.tp_dealloc = dealloc;
   t.tp_repr = ss_repr;
   t.tp_as_number = &ss_as_number;
+  t.tp_as_sequence = &ss_as_sequence;
   t.tp_as_mapping = &ss_as_mapping;
   t.tp_hash = ss_hash;
   t.tp_str = ss_str;
