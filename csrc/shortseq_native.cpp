@@ -72,10 +72,54 @@ static PyObject* ss_empty = nullptr;  // singleton "" (reference short_seq.pyx:7
 // ---------------------------------------------------------------------------
 // Bit kernels.
 
+// SWAR helpers for the 8-bytes-at-a-time encode fast path.
+inline uint64_t load_u64(const char* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+
+// True iff every byte of x is one of 'A' 'C' 'G' 'T' (uppercase only,
+// the reference bloom's accept set).
+inline bool all_acgt8(uint64_t x) {
+  auto has_zero = [](uint64_t v) {
+    return (v - 0x0101010101010101ull) & ~v & 0x8080808080808080ull;
+  };
+  auto eq = [&](uint64_t v, uint8_t c) {
+    return has_zero(v ^ (0x0101010101010101ull * c));
+  };
+  uint64_t any = eq(x, 'A') | eq(x, 'C') | eq(x, 'G') | eq(x, 'T');
+  // `any` has bit 7 set in every byte position that matched one base;
+  // all 8 must match.
+  return (any & 0x8080808080808080ull) == 0x8080808080808080ull;
+}
+
+// 8 ASCII bytes -> 16 packed bits (codes LSB-first).
+inline uint64_t pack8(uint64_t x) {
+#ifdef __BMI2__
+  return __builtin_ia32_pext_di(x, 0x0606060606060606ull) ;
+#else
+  uint64_t v = (x >> 1) & 0x0303030303030303ull;
+  v = (v | (v >> 6)) & 0x000F000F000F000Full;
+  v = (v | (v >> 12)) & 0x000000FF000000FFull;
+  v = (v | (v >> 24)) & 0xFFFFull;
+  return v;
+#endif
+}
+
 // Encode `len` ASCII bytes into pre-zeroed blocks.  Returns the offending
-// byte on failure, -1 on success.
+// byte on failure, -1 on success.  Fast path handles 8 chars per step
+// (SWAR validity + pext/SWAR compaction, the TPU-host analog of the
+// reference's _marshall_full_blocks util.pyx:100-119); the scalar tail
+// also pinpoints the exact bad byte for the error message.
 inline int encode_into(const char* data, Py_ssize_t len, uint64_t* blocks) {
-  for (Py_ssize_t i = 0; i < len; ++i) {
+  Py_ssize_t i = 0;
+  for (; i + 8 <= len; i += 8) {
+    uint64_t x = load_u64(data + i);
+    if (!all_acgt8(x)) break;  // scalar loop below reports the byte
+    blocks[i / kNtPerBlock] |= pack8(x) << (2 * (i % kNtPerBlock));
+  }
+  for (; i < len; ++i) {
     uint8_t c = (uint8_t)data[i];
     if (kBloom & (1ull << (c & 63))) return c;
     blocks[i / kNtPerBlock] |=
@@ -500,6 +544,56 @@ static PyObject* py_from_blocks(PyObject*, PyObject* args) {
   return make_from_blocks(blocks, length);
 }
 
+// Count a list of PyBytes reads into a dict (the C-speed ingest the
+// reference gets from its private known-hash dict calls,
+// counter.pyx:22-54; here the public PyDict C API + the types' C-level
+// hash/eq give the same speed class).  Writes bypass any __setitem__
+// override, as the reference's do.
+static PyObject* py_count_bytes_list(PyObject*, PyObject* args) {
+  PyObject* dict;
+  PyObject* list;
+  if (!PyArg_ParseTuple(args, "O!O!", &PyDict_Type, &dict, &PyList_Type,
+                        &list))
+    return nullptr;
+  PyObject* one = PyLong_FromLong(1);
+  if (!one) return nullptr;
+  Py_ssize_t n = PyList_GET_SIZE(list);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* item = PyList_GET_ITEM(list, i);
+    if (!PyBytes_Check(item)) {
+      Py_DECREF(one);
+      return PyErr_Format(PyExc_TypeError,
+                          "expected bytes at index %zd, got %R", i,
+                          (PyObject*)Py_TYPE(item));
+    }
+    PyObject* key =
+        new_from_chars(PyBytes_AS_STRING(item), PyBytes_GET_SIZE(item));
+    if (!key) {
+      Py_DECREF(one);
+      return nullptr;
+    }
+    PyObject* cur = PyDict_GetItemWithError(dict, key);  // borrowed
+    int rc;
+    if (cur) {
+      long v = PyLong_AsLong(cur);
+      PyObject* nv = PyLong_FromLong(v + 1);
+      rc = nv ? PyDict_SetItem(dict, key, nv) : -1;
+      Py_XDECREF(nv);
+    } else if (PyErr_Occurred()) {
+      rc = -1;
+    } else {
+      rc = PyDict_SetItem(dict, key, one);
+    }
+    Py_DECREF(key);
+    if (rc < 0) {
+      Py_DECREF(one);
+      return nullptr;
+    }
+  }
+  Py_DECREF(one);
+  Py_RETURN_NONE;
+}
+
 static PyObject* py_domain(PyObject*, PyObject* args, int lo, int hi) {
   return Py_BuildValue("(ii)", lo, hi);
 }
@@ -521,6 +615,8 @@ static PyMethodDef module_methods[] = {
     {"from_bytes", py_from_bytes, METH_O, nullptr},
     {"from_blocks", py_from_blocks, METH_VARARGS,
      "Build a ShortSeq from reference uint64 blocks + length."},
+    {"count_bytes_list", py_count_bytes_list, METH_VARARGS,
+     "Count a list of bytes reads into a dict of ShortSeq keys."},
     {"get_domain_64", py_domain_64, METH_NOARGS, nullptr},
     {"get_domain_192", py_domain_192, METH_NOARGS, nullptr},
     {"get_domain_var", py_domain_var, METH_NOARGS, nullptr},

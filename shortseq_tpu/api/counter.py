@@ -37,6 +37,14 @@ class ShortSeqCounter(dict):
         dict.__setitem__(self, key, val)
 
     def _count_py_bytes_list(self, it):
+        # C-speed ingest loop when the native extension is built
+        # (reference counter.pyx:22-29's role).
+        from ..native_build import load as _load_native
+
+        native = _load_native()
+        if native is not None and hasattr(native, "count_bytes_list"):
+            native.count_bytes_list(self, it)
+            return
         from_bytes = _backend().from_bytes
         get = self.get
         setter = dict.__setitem__
