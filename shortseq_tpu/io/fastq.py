@@ -23,6 +23,34 @@ def _read_bytes(filename) -> bytes:
         return f.read()
 
 
+# Longest FASTQ record we expect to straddle a shard boundary: header +
+# 1024 nt seq + separator + 1024 qual, with slack for long headers.
+_SYNC_MARGIN = 1 << 20
+
+
+def _read_range_synced(filename, lo: int, hi: int):
+    """Read only the bytes needed for the records starting in [lo, hi):
+    [lo-1, hi + margin), so each host's IO is proportional to its shard,
+    not the file (the multi-host analog of the reference's posix_fadvise
+    sequential hint, fast_read.pxd:11-17).  Returns (buffer, base) where
+    sync offsets relative to the buffer are absolute - base.
+
+    The extra leading byte lets the record-sync scan see the newline just
+    before `lo`, so every shard computes the exact same boundary as a
+    full-file scan would; the trailing margin bounds how far past `hi` the
+    first record start may be (any real <=1024 nt FASTQ record is ~2.5 KB,
+    far under the 1 MB margin)."""
+    import os
+
+    size = os.path.getsize(filename)
+    lo = max(0, min(lo, size))
+    base = max(0, lo - 1)
+    read_hi = min(size, hi + _SYNC_MARGIN)
+    with open(filename, "rb") as f:
+        f.seek(base)
+        return f.read(read_hi - base), base
+
+
 def fastq_line_index(buf: np.ndarray):
     """Return (starts, ends) byte offsets of every sequence line in a FASTQ
     buffer (newline excluded)."""
@@ -48,14 +76,22 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
     the vectorized numpy parse.  `byte_range=(lo, hi)` restricts parsing to
     the records starting inside the range (multi-host sharding; native only).
     """
-    data = _read_bytes(filename)
     from .native import fastq_matrix_native
 
-    native = fastq_matrix_native(data, pad_to=pad_to, byte_range=byte_range)
+    if byte_range is not None:
+        # Ranged read: only this shard's bytes (+ sync margin) touch disk.
+        lo, hi = byte_range
+        data, base = _read_range_synced(filename, lo, hi)
+        native = fastq_matrix_native(
+            data, pad_to=pad_to, byte_range=(lo - base, hi - base))
+        if native is None:
+            raise RuntimeError("byte_range sharding requires the native sharder")
+        return native
+
+    data = _read_bytes(filename)
+    native = fastq_matrix_native(data, pad_to=pad_to)
     if native is not None:
         return native
-    if byte_range is not None:
-        raise RuntimeError("byte_range sharding requires the native sharder")
     buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros((0, pad_to), dtype=np.uint8), np.zeros(0, dtype=np.int32)
