@@ -35,6 +35,16 @@ def scrubbed_cpu_env(n_devices=8):
     return env
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _warm_device_transfers():
+    """Start the one-time device->host handshake at session start so it
+    overlaps the host-only tests instead of stalling the first fetch
+    (docs/ENVIRONMENT.md item 1)."""
+    from shortseq_tpu.utils.warmup import start_transfer_warmup
+
+    start_transfer_warmup()
+
+
 @pytest.fixture
 def rng():
     return random.Random(0xC0FFEE)
