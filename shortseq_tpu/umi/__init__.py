@@ -13,9 +13,9 @@ semantics.
 """
 
 from .objects import UMI, UMI5p, UMI3p, UMIboth, UMIFactory
-from .dedup import dedup_umis, umi_adjacency
+from .dedup import dedup_reads, dedup_umis, umi_adjacency
 
 __all__ = [
     "UMI", "UMI5p", "UMI3p", "UMIboth", "UMIFactory",
-    "dedup_umis", "umi_adjacency",
+    "dedup_reads", "dedup_umis", "umi_adjacency",
 ]

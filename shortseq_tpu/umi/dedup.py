@@ -123,6 +123,59 @@ def _greedy_absorb(adj, counts, directional: bool):
     return labels
 
 
+def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
+                threshold: int = 1, method: str = "directional"):
+    """Full UMI read deduplication: reads carrying UMIs on the 5'/3' ends
+    are grouped by insert sequence, and within each group the UMIs are
+    clustered (sequencing-error collapse); each cluster is one original
+    molecule.  The standard umi_tools-style dedup workflow, which the
+    reference's alpha subpackage was building toward.
+
+    Args:
+      reads: list of str/bytes (UMI(s) still attached).
+      len_5p/len_3p: UMI lengths clipped from each end.
+    Returns:
+      (labels, molecules): `labels[i]` is the molecule id of read i;
+      `molecules[m]` is `(insert_bytes, umi_bytes)` for molecule m (the
+      highest-count UMI of its cluster).
+    """
+    import collections
+
+    if len_5p + len_3p == 0:
+        raise ValueError("at least one UMI length must be positive")
+    norm = [r.encode("ascii") if isinstance(r, str) else bytes(r)
+            for r in reads]
+    split = []
+    for r in norm:
+        if len(r) < len_5p + len_3p:
+            raise ValueError(
+                f"Read of {len(r)} nt is shorter than the UMI lengths "
+                f"({len_5p} + {len_3p})")
+        umi = r[:len_5p] + (r[len(r) - len_3p:] if len_3p else b"")
+        insert = r[len_5p:len(r) - len_3p or len(r)]
+        split.append((umi, insert))
+
+    groups = collections.defaultdict(list)
+    for i, (_, insert) in enumerate(split):
+        groups[insert].append(i)
+
+    labels = np.empty(len(norm), np.int64)
+    molecules = []
+    for insert, idxs in groups.items():
+        umis = [split[i][0] for i in idxs]
+        if len(set(umis)) == 1:  # no clustering needed (the common case)
+            for i in idxs:
+                labels[i] = len(molecules)
+            molecules.append((insert, umis[0]))
+            continue
+        glabels, greps = dedup_umis(umis, threshold, method)
+        base = len(molecules)
+        for i, gl in zip(idxs, glabels):
+            labels[i] = base + int(gl)
+        molecules.extend((insert, rep) for rep in greps)
+    return labels, molecules
+
+
 def dedup_umis(umis, threshold: int = 1, method: str = "directional"):
     """Collapse a list of UMIs (str/bytes) into clusters.
 

@@ -108,3 +108,55 @@ class TestDedup:
         for i, j in itertools.product(range(len(uniq)), repeat=2):
             dist = sum(a != b for a, b in zip(uniq[i], uniq[j]))
             assert adj[i, j] == (dist <= 1), (uniq[i], uniq[j])
+
+
+class TestDedupReads:
+    def test_groups_by_insert_then_clusters(self):
+        from shortseq_tpu.umi import dedup_reads
+
+        # Two inserts; insert 1 has UMIs AAAA x4 and AAAT x1 (collapses
+        # directionally); insert 2 reuses AAAA but is a different molecule.
+        reads = (["AAAA" + "CGTACGTACG"] * 4
+                 + ["AAAT" + "CGTACGTACG"]
+                 + ["AAAA" + "GGGGGGGGGG"] * 2)
+        labels, molecules = dedup_reads(reads, len_5p=4)
+        assert len(molecules) == 2
+        assert labels[0] == labels[4] != labels[5]
+        got = {(ins.decode(), umi.decode()) for ins, umi in molecules}
+        assert got == {("CGTACGTACG", "AAAA"), ("GGGGGGGGGG", "AAAA")}
+
+    def test_3p_and_both_ends(self):
+        from shortseq_tpu.umi import dedup_reads
+
+        reads = ["CCCCTTTT" + "AA", "CCCCTTTT" + "AA", "CCCCTTTT" + "AT"]
+        labels, molecules = dedup_reads(reads, len_3p=2, method="cluster")
+        # UMIs AA, AA, AT on the same insert: distance 1 -> one molecule.
+        assert len(molecules) == 1 and len(set(labels)) == 1
+
+        labels, molecules = dedup_reads(
+            ["GG" + "ACGTACGT" + "TT"], len_5p=2, len_3p=2)
+        assert molecules == [(b"ACGTACGT", b"GGTT")]
+
+    def test_identical_umis_fast_path(self):
+        from shortseq_tpu.umi import dedup_reads
+
+        reads = ["ACGT" + "TTTTTTTT"] * 100
+        labels, molecules = dedup_reads(reads, len_5p=4)
+        assert len(molecules) == 1
+        assert set(labels) == {0}
+
+    def test_requires_umi_length(self):
+        import pytest as _pytest
+
+        from shortseq_tpu.umi import dedup_reads
+
+        with _pytest.raises(ValueError, match="at least one UMI"):
+            dedup_reads(["ACGT"])
+
+    def test_too_short_read_raises(self):
+        import pytest as _pytest
+
+        from shortseq_tpu.umi import dedup_reads
+
+        with _pytest.raises(ValueError, match="shorter than"):
+            dedup_reads(["ACG"], len_5p=2, len_3p=2)
