@@ -15,8 +15,11 @@ umi_tools algorithms the reference benchmarks against
 
 Device side: UMIs are packed 2-bit words; the all-pairs distance matrix
 comes from the XOR + collapse + popcount kernel (ops/hamming.py, tiled
-Pallas variant in ops/pallas_kernels.py) - O(U^2) lane-parallel work.
-Host side: graph collapse on the (small) unique-UMI set.
+Pallas variant in ops/pallas_kernels.py) - O(U^2) lane-parallel work in
+ONE dispatch over all unique UMIs (read-level dedup masks the matrix by
+insert-group id rather than dispatching per group, because per-dispatch
+latency, not compute, dominates small batches).  Host side: graph collapse
+on the (small) unique set.
 """
 
 from __future__ import annotations
@@ -25,31 +28,26 @@ import numpy as np
 
 from ..constants import MAX_64_NT
 
+# Above this many unique keys the dense [U, U] distance matrix (int32)
+# exceeds ~1 GB; read-level dedup falls back to per-insert-group batches.
+MAX_DENSE_UNIQUE = 16384
 
-def _pack_unique(umis):
-    """Host: list of str/bytes UMIs -> (unique words [U, 2], lengths [U],
-    counts [U], inverse [N])."""
-    import collections
+_METHODS = ("unique", "cluster", "adjacency", "directional")
 
-    norm = [u.encode("ascii") if isinstance(u, str) else bytes(u)
-            for u in umis]
-    for u in norm:
-        if len(u) > MAX_64_NT:
-            raise ValueError("UMIs longer than 32 nt are not supported")
-    counter = collections.Counter(norm)
-    uniq = list(counter)
-    index = {u: i for i, u in enumerate(uniq)}
-    inverse = np.fromiter((index[u] for u in norm), np.int64, len(norm))
-    counts = np.fromiter((counter[u] for u in uniq), np.int64, len(uniq))
 
+def _pack_validate_umis(uniq):
+    """Pack a list of unique UMI bytes -> ([U, 2] words, [U] lengths),
+    raising the reference's error on any invalid base."""
     import jax.numpy as jnp
 
     from ..constants import UNSUPPORTED_BASE_MSG
     from ..ops.bitpack import pack_and_validate
     from ..utils.warmup import start_transfer_warmup
 
+    for u in uniq:
+        if len(u) > MAX_64_NT:
+            raise ValueError("UMIs longer than 32 nt are not supported")
     start_transfer_warmup()
-
     width = 32
     mat = np.zeros((len(uniq), width), np.uint8)
     lengths = np.zeros(len(uniq), np.int32)
@@ -61,15 +59,13 @@ def _pack_unique(umis):
     if not ok.all():
         bad = uniq[int(np.argmin(ok))].decode("ascii", "replace")
         raise Exception(f"{UNSUPPORTED_BASE_MSG} in UMI {bad!r}")
-    return words, lengths, counts, inverse, uniq
+    return words, lengths
 
 
 def umi_adjacency(words, lengths, threshold: int = 1) -> np.ndarray:
     """[U, W] packed UMIs -> boolean [U, U] adjacency (hamming <= threshold
     and equal length).  Uses the tiled Pallas kernel on TPU, the jnp
     broadcast fallback elsewhere."""
-    import jax.numpy as jnp
-
     from ..ops import pairwise_hamming_auto
 
     dist = np.asarray(pairwise_hamming_auto(words, words))
@@ -123,6 +119,80 @@ def _greedy_absorb(adj, counts, directional: bool):
     return labels
 
 
+def _collapse(adj, counts, method):
+    """Root label per node for the given method (adj diagonal is ignored)."""
+    np.fill_diagonal(adj, False)
+    if method == "cluster":
+        return _components(adj)
+    return _greedy_absorb(adj, counts, method == "directional")
+
+
+def _relabel(roots, counts):
+    """roots -> (dense cluster labels 0..C-1, representative node per
+    cluster = the max-count member)."""
+    root_ids = {}
+    rep_nodes = []
+    labels = np.empty(len(roots), np.int64)
+    for i in range(len(roots)):
+        r = roots[i]
+        if r not in root_ids:
+            root_ids[r] = len(rep_nodes)
+            members = np.flatnonzero(roots == r)
+            rep_nodes.append(int(members[np.argmax(counts[members])]))
+        labels[i] = root_ids[r]
+    return labels, rep_nodes
+
+
+def split_read(read: bytes, len_5p: int, len_3p: int):
+    """(5' UMI, insert, 3' UMI) split shared by UMIFactory and dedup_reads.
+
+    A read that is entirely UMI yields an empty insert."""
+    if len_5p < 0 or len_3p < 0:
+        raise ValueError("UMI lengths must be non-negative")
+    n = len(read)
+    if n < len_5p + len_3p:
+        raise ValueError(
+            f"Read of {n} nt is shorter than the UMI lengths "
+            f"({len_5p} + {len_3p})")
+    umi5 = read[:len_5p]
+    umi3 = read[n - len_3p:] if len_3p else b""
+    insert = read[len_5p:n - len_3p]
+    return umi5, insert, umi3
+
+
+def dedup_umis(umis, threshold: int = 1, method: str = "directional"):
+    """Collapse a list of UMIs (str/bytes) into clusters.
+
+    Returns (labels, representatives): `labels[i]` is the cluster id of
+    input i (ids are indices into `representatives`), and
+    `representatives[c]` is the highest-count UMI of cluster c (bytes).
+    """
+    import collections
+
+    if method not in _METHODS:
+        raise ValueError(f"Unknown method: {method}")
+    if len(umis) == 0:
+        return np.zeros(0, np.int64), []
+
+    norm = [u.encode("ascii") if isinstance(u, str) else bytes(u)
+            for u in umis]
+    counter = collections.Counter(norm)
+    uniq = list(counter)
+    index = {u: i for i, u in enumerate(uniq)}
+    inverse = np.fromiter((index[u] for u in norm), np.int64, len(norm))
+    counts = np.fromiter((counter[u] for u in uniq), np.int64, len(uniq))
+
+    words, lengths = _pack_validate_umis(uniq)
+    u = len(uniq)
+    if method == "unique" or u == 1:
+        roots = np.arange(u)
+    else:
+        roots = _collapse(umi_adjacency(words, lengths, threshold),
+                          counts, method)
+    labels_u, rep_nodes = _relabel(roots, counts)
+    return labels_u[inverse], [uniq[i] for i in rep_nodes]
+
+
 def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
                 threshold: int = 1, method: str = "directional"):
     """Full UMI read deduplication: reads carrying UMIs on the 5'/3' ends
@@ -130,6 +200,12 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     clustered (sequencing-error collapse); each cluster is one original
     molecule.  The standard umi_tools-style dedup workflow, which the
     reference's alpha subpackage was building toward.
+
+    All groups are clustered in ONE device pass: the pairwise distance
+    matrix over all unique (insert-group, UMI) pairs is masked so edges
+    never cross groups - per-dispatch latency dominates per-group batches.
+    Above MAX_DENSE_UNIQUE unique pairs the dense matrix would exceed ~1 GB
+    and the collapse falls back to per-group batches.
 
     Args:
       reads: list of str/bytes (UMI(s) still attached).
@@ -141,76 +217,59 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     """
     import collections
 
+    if method not in _METHODS:
+        raise ValueError(f"Unknown method: {method}")
+    if len_5p < 0 or len_3p < 0:
+        raise ValueError("UMI lengths must be non-negative")
     if len_5p + len_3p == 0:
         raise ValueError("at least one UMI length must be positive")
-    norm = [r.encode("ascii") if isinstance(r, str) else bytes(r)
-            for r in reads]
-    split = []
-    for r in norm:
-        if len(r) < len_5p + len_3p:
-            raise ValueError(
-                f"Read of {len(r)} nt is shorter than the UMI lengths "
-                f"({len_5p} + {len_3p})")
-        umi = r[:len_5p] + (r[len(r) - len_3p:] if len_3p else b"")
-        insert = r[len_5p:len(r) - len_3p or len(r)]
-        split.append((umi, insert))
-
-    groups = collections.defaultdict(list)
-    for i, (_, insert) in enumerate(split):
-        groups[insert].append(i)
-
-    labels = np.empty(len(norm), np.int64)
-    molecules = []
-    for insert, idxs in groups.items():
-        umis = [split[i][0] for i in idxs]
-        if len(set(umis)) == 1:  # no clustering needed (the common case)
-            for i in idxs:
-                labels[i] = len(molecules)
-            molecules.append((insert, umis[0]))
-            continue
-        glabels, greps = dedup_umis(umis, threshold, method)
-        base = len(molecules)
-        for i, gl in zip(idxs, glabels):
-            labels[i] = base + int(gl)
-        molecules.extend((insert, rep) for rep in greps)
-    return labels, molecules
-
-
-def dedup_umis(umis, threshold: int = 1, method: str = "directional"):
-    """Collapse a list of UMIs (str/bytes) into clusters.
-
-    Returns (labels, representatives): `labels[i]` is the cluster id of
-    input i (ids are indices into `representatives`), and
-    `representatives[c]` is the highest-count UMI of cluster c (bytes).
-    """
-    if method not in ("unique", "cluster", "adjacency", "directional"):
-        raise ValueError(f"Unknown method: {method}")
-    if len(umis) == 0:
+    if len_5p + len_3p > MAX_64_NT:
+        raise ValueError("UMIs longer than 32 nt are not supported")
+    if len(reads) == 0:
         return np.zeros(0, np.int64), []
 
-    words, lengths, counts, inverse, uniq = _pack_unique(umis)
+    norm = [r.encode("ascii") if isinstance(r, str) else bytes(r)
+            for r in reads]
+    gid_of = {}
+    inserts = []
+    keys = []  # per-read (gid, umi)
+    for r in norm:
+        u5, insert, u3 = split_read(r, len_5p, len_3p)
+        gid = gid_of.setdefault(insert, len(gid_of))
+        if gid == len(inserts):
+            inserts.append(insert)
+        keys.append((gid, u5 + u3))
+
+    counter = collections.Counter(keys)
+    uniq = list(counter)
+    index = {k: i for i, k in enumerate(uniq)}
+    inverse = np.fromiter((index[k] for k in keys), np.int64, len(keys))
+    counts = np.fromiter((counter[k] for k in uniq), np.int64, len(uniq))
+    gids = np.fromiter((g for g, _ in uniq), np.int64, len(uniq))
+
+    # Validation is uniform: every unique UMI goes through the packed
+    # validity check regardless of which collapse path runs below.
+    words, lengths = _pack_validate_umis([u for _, u in uniq])
+
     u = len(uniq)
     if method == "unique" or u == 1:
         roots = np.arange(u)
-    else:
+    elif u <= MAX_DENSE_UNIQUE:
         adj = umi_adjacency(words, lengths, threshold)
-        np.fill_diagonal(adj, False)
-        if method == "cluster":
-            roots = _components(adj)
-        else:
-            roots = _greedy_absorb(adj, counts, method == "directional")
+        adj &= np.equal.outer(gids, gids)      # edges never cross inserts
+        roots = _collapse(adj, counts, method)
+    else:
+        # Dense matrix would be too large: collapse group by group.
+        roots = np.arange(u)
+        for gid in range(len(inserts)):
+            members = np.flatnonzero(gids == gid)
+            if len(members) < 2:
+                continue
+            sub_adj = umi_adjacency(
+                words[members], lengths[members], threshold)
+            sub_roots = _collapse(sub_adj, counts[members], method)
+            roots[members] = members[sub_roots]
 
-    # Re-label clusters 0..C-1 by root, pick max-count member as rep.
-    root_ids = {}
-    reps = []
-    labels_u = np.empty(u, np.int64)
-    for i in range(u):
-        r = roots[i]
-        if r not in root_ids:
-            root_ids[r] = len(reps)
-            # Root is the first (max-count) member for greedy methods; for
-            # components pick the max-count member of the whole cluster.
-            members = np.flatnonzero(roots == r)
-            reps.append(uniq[members[np.argmax(counts[members])]])
-        labels_u[i] = root_ids[r]
-    return labels_u[inverse], reps
+    labels_u, rep_nodes = _relabel(roots, counts)
+    molecules = [(inserts[uniq[i][0]], uniq[i][1]) for i in rep_nodes]
+    return labels_u[inverse], molecules

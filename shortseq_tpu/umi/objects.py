@@ -121,14 +121,9 @@ class UMIFactory:
             self._cls = UMI
 
     def from_bytes(self, seq_bytes: bytes):
-        n = len(seq_bytes)
-        if n < self.len_5p + self.len_3p:
-            raise ValueError(
-                f"Read of {n} nt is shorter than the UMI lengths "
-                f"({self.len_5p} + {self.len_3p})")
-        umi5 = seq_bytes[:self.len_5p]
-        umi3 = seq_bytes[n - self.len_3p:] if self.len_3p else b""
-        insert = seq_bytes[self.len_5p:n - self.len_3p or n]
+        from .dedup import split_read
+
+        umi5, insert, umi3 = split_read(seq_bytes, self.len_5p, self.len_3p)
         cls = self._cls
         if cls is UMI:
             return UMI(from_bytes(insert))

@@ -160,3 +160,65 @@ class TestDedupReads:
 
         with _pytest.raises(ValueError, match="shorter than"):
             dedup_reads(["ACG"], len_5p=2, len_3p=2)
+
+
+class TestDedupReadsRegressions:
+    """Findings from review: empty-insert reads, negative lengths, and
+    data-dependent validation on the identical-UMI fast path."""
+
+    def test_entirely_umi_reads_share_one_group(self):
+        from shortseq_tpu.umi import dedup_reads
+
+        # Reads that are ALL UMI (empty insert): one group, directional
+        # collapse applies across them.
+        labels, molecules = dedup_reads(
+        ["AAAA"] * 4 + ["AAAT"], len_3p=4)
+        assert len(molecules) == 1
+        assert molecules[0] == (b"", b"AAAA")
+        assert set(labels) == {0}
+
+    def test_negative_lengths_raise(self):
+        from shortseq_tpu.umi import dedup_reads
+
+        with pytest.raises(ValueError, match="non-negative"):
+            dedup_reads(["ACGTACGT"] * 2, len_5p=-2, len_3p=4)
+
+    def test_invalid_umi_raises_even_when_identical(self):
+        from shortseq_tpu.umi import dedup_reads
+
+        with pytest.raises(Exception, match="Unsupported base character"):
+            dedup_reads(["NNNN" + "ACGTACGT"] * 3, len_5p=4)
+
+    def test_umi_over_32nt_raises(self):
+        from shortseq_tpu.umi import dedup_reads
+
+        with pytest.raises(ValueError, match="longer than 32"):
+            dedup_reads(["A" * 40] * 2, len_5p=33)
+
+    def test_one_dispatch_many_groups_matches_per_group(self, rng):
+        # The batched (single-matrix) path must agree with the per-group
+        # fallback path on the same data.
+        import shortseq_tpu.umi.dedup as dd
+
+        inserts = ["".join(rng.choice("ACTG") for _ in range(20))
+                   for _ in range(12)]
+        reads = []
+        for ins in inserts:
+            reads += ["AACC" + ins] * 3 + ["AACT" + ins, "GGTT" + ins]
+        l1, m1 = dd.dedup_reads(reads, len_5p=4)
+        saved = dd.MAX_DENSE_UNIQUE
+        try:
+            dd.MAX_DENSE_UNIQUE = 1  # force the per-group fallback
+            l2, m2 = dd.dedup_reads(reads, len_5p=4)
+        finally:
+            dd.MAX_DENSE_UNIQUE = saved
+        # Same partition (labels may be permuted) and same molecule set.
+        import collections
+        part1 = collections.defaultdict(set)
+        part2 = collections.defaultdict(set)
+        for i, (a, b) in enumerate(zip(l1, l2)):
+            part1[int(a)].add(i)
+            part2[int(b)].add(i)
+        assert sorted(map(sorted, part1.values())) == \
+            sorted(map(sorted, part2.values()))
+        assert sorted(m1) == sorted(m2)
