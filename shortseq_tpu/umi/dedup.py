@@ -13,13 +13,13 @@ umi_tools algorithms the reference benchmarks against
                  are BFS trees from high-count roots (the umi_tools default
                  and the standard for sequencing-error collapse)
 
-Device side: UMIs are packed 2-bit words; the all-pairs distance matrix
+Device side: UMIs are packed 2-bit words; the pairwise distance matrix
 comes from the XOR + collapse + popcount kernel (ops/hamming.py, tiled
-Pallas variant in ops/pallas_kernels.py) - O(U^2) lane-parallel work in
-ONE dispatch over all unique UMIs (read-level dedup masks the matrix by
-insert-group id rather than dispatching per group, because per-dispatch
-latency, not compute, dominates small batches).  Host side: graph collapse
-on the (small) unique set.
+Pallas variant in ops/pallas_kernels.py) computed in ROW BLOCKS sized to a
+fixed memory budget, and reduced immediately to sparse neighbour lists -
+so memory stays bounded at any number of unique UMIs and the dispatch
+count stays O(U / block), never O(groups).  Host side: graph collapse
+over the sparse lists.
 """
 
 from __future__ import annotations
@@ -28,9 +28,9 @@ import numpy as np
 
 from ..constants import MAX_64_NT
 
-# Above this many unique keys the dense [U, U] distance matrix (int32)
-# exceeds ~1 GB; read-level dedup falls back to per-insert-group batches.
-MAX_DENSE_UNIQUE = 16384
+# Memory budget for one pairwise row block: block_rows * U int32 distances
+# stay under ~1 GiB (16384^2 * 4 B).
+_PAIR_BUDGET = 16384 * 16384
 
 _METHODS = ("unique", "cluster", "adjacency", "directional")
 
@@ -64,8 +64,8 @@ def _pack_validate_umis(uniq):
 
 def umi_adjacency(words, lengths, threshold: int = 1) -> np.ndarray:
     """[U, W] packed UMIs -> boolean [U, U] adjacency (hamming <= threshold
-    and equal length).  Uses the tiled Pallas kernel on TPU, the jnp
-    broadcast fallback elsewhere."""
+    and equal length).  Dense; for bounded-memory neighbour lists at scale
+    use _neighbor_lists (what dedup_umis/dedup_reads call)."""
     from ..ops import pairwise_hamming_auto
 
     dist = np.asarray(pairwise_hamming_auto(words, words))
@@ -73,9 +73,37 @@ def umi_adjacency(words, lengths, threshold: int = 1) -> np.ndarray:
     return (dist <= threshold) & same_len
 
 
-def _components(adj):
-    """Connected components; returns root label per node."""
-    u = adj.shape[0]
+def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
+    """Sparse adjacency: neighbours[i] = indices j != i with
+    hamming(i, j) <= threshold, equal lengths, and (optionally) equal
+    group ids.  The [block, U] distance slab is computed on device one row
+    block at a time (block sized to _PAIR_BUDGET), then reduced to index
+    lists - memory is O(U + edges), not O(U^2)."""
+    from ..ops import pairwise_hamming_auto
+
+    u = len(lengths)
+    lengths = np.asarray(lengths)
+    if block is None:
+        block = max(256, min(u, _PAIR_BUDGET // max(u, 1)))
+    neighbors = [None] * u
+    for lo in range(0, u, block):
+        hi = min(u, lo + block)
+        dist = np.asarray(pairwise_hamming_auto(words[lo:hi], words))
+        adj = (dist <= threshold) & (lengths[lo:hi, None] == lengths[None, :])
+        if gids is not None:
+            adj &= gids[lo:hi, None] == gids[None, :]
+        rows, cols = np.nonzero(adj)
+        # Split the edge list by row in one pass.
+        counts_per_row = np.bincount(rows, minlength=hi - lo)
+        splits = np.split(cols, np.cumsum(counts_per_row)[:-1])
+        for r, nbr in enumerate(splits):
+            neighbors[lo + r] = nbr[nbr != lo + r]
+    return neighbors
+
+
+def _components(neighbors):
+    """Connected components over sparse lists; returns root per node."""
+    u = len(neighbors)
     labels = np.full(u, -1, np.int64)
     for seed in range(u):
         if labels[seed] >= 0:
@@ -84,19 +112,20 @@ def _components(adj):
         labels[seed] = seed
         while stack:
             node = stack.pop()
-            for nbr in np.flatnonzero(adj[node]):
+            for nbr in neighbors[node]:
                 if labels[nbr] < 0:
                     labels[nbr] = seed
                     stack.append(nbr)
     return labels
 
 
-def _greedy_absorb(adj, counts, directional: bool):
-    """adjacency / directional collapse: iterate nodes by descending count;
-    an unassigned node roots a cluster and absorbs unassigned neighbours
-    (direct for adjacency; BFS through count-ordered edges for
-    directional, edge u->v iff counts[u] >= 2 * counts[v] - 1)."""
-    u = adj.shape[0]
+def _greedy_absorb(neighbors, counts, directional: bool):
+    """adjacency / directional collapse over sparse lists: iterate nodes by
+    descending count; an unassigned node roots a cluster and absorbs
+    unassigned neighbours (direct only for adjacency; BFS through
+    count-ordered edges for directional, edge u->v iff
+    counts[u] >= 2 * counts[v] - 1)."""
+    u = len(neighbors)
     labels = np.full(u, -1, np.int64)
     order = np.argsort(-counts, kind="stable")
     for root in order:
@@ -106,7 +135,7 @@ def _greedy_absorb(adj, counts, directional: bool):
         frontier = [root]
         while frontier:
             node = frontier.pop()
-            for nbr in np.flatnonzero(adj[node]):
+            for nbr in neighbors[node]:
                 if labels[nbr] >= 0:
                     continue
                 if directional and counts[node] < 2 * counts[nbr] - 1:
@@ -119,28 +148,22 @@ def _greedy_absorb(adj, counts, directional: bool):
     return labels
 
 
-def _collapse(adj, counts, method):
-    """Root label per node for the given method (adj diagonal is ignored)."""
-    np.fill_diagonal(adj, False)
+def _collapse(neighbors, counts, method):
     if method == "cluster":
-        return _components(adj)
-    return _greedy_absorb(adj, counts, method == "directional")
+        return _components(neighbors)
+    return _greedy_absorb(neighbors, counts, method == "directional")
 
 
 def _relabel(roots, counts):
-    """roots -> (dense cluster labels 0..C-1, representative node per
-    cluster = the max-count member)."""
-    root_ids = {}
-    rep_nodes = []
-    labels = np.empty(len(roots), np.int64)
-    for i in range(len(roots)):
-        r = roots[i]
-        if r not in root_ids:
-            root_ids[r] = len(rep_nodes)
-            members = np.flatnonzero(roots == r)
-            rep_nodes.append(int(members[np.argmax(counts[members])]))
-        labels[i] = root_ids[r]
-    return labels, rep_nodes
+    """roots -> (dense cluster labels, representative node per cluster =
+    the lowest-index max-count member).  Fully vectorized: O(U log U)."""
+    uniq_roots, labels = np.unique(roots, return_inverse=True)
+    # Sort by (label asc, count desc, index asc); the first row of each
+    # label run is its representative.
+    order = np.lexsort((np.arange(len(roots)), -counts, labels))
+    first = np.searchsorted(labels[order], np.arange(len(uniq_roots)))
+    rep_nodes = order[first]
+    return labels.astype(np.int64), rep_nodes
 
 
 def split_read(read: bytes, len_5p: int, len_3p: int):
@@ -160,7 +183,33 @@ def split_read(read: bytes, len_5p: int, len_3p: int):
     return umi5, insert, umi3
 
 
-def dedup_umis(umis, threshold: int = 1, method: str = "directional"):
+def _cluster_unique(words, lengths, counts, method, threshold, gids=None,
+                    candidates=None, block=None):
+    """Shared collapse driver: returns root per unique key.  `candidates`
+    restricts the (quadratic) adjacency work to the given key indices;
+    keys outside it root themselves."""
+    u = len(lengths)
+    roots = np.arange(u)
+    if method == "unique" or u < 2:
+        return roots
+    if candidates is None:
+        candidates = np.arange(u)
+    if len(candidates) < 2:
+        return roots
+    # Host-side gather of the candidate rows: device fancy-indexing would
+    # compile one program per candidate-set size.
+    words = np.asarray(words)
+    sub_gids = gids[candidates] if gids is not None else None
+    neighbors = _neighbor_lists(
+        words[candidates], lengths[candidates], threshold,
+        gids=sub_gids, block=block)
+    sub_roots = _collapse(neighbors, counts[candidates], method)
+    roots[candidates] = candidates[sub_roots]
+    return roots
+
+
+def dedup_umis(umis, threshold: int = 1, method: str = "directional",
+               _block=None):
     """Collapse a list of UMIs (str/bytes) into clusters.
 
     Returns (labels, representatives): `labels[i]` is the cluster id of
@@ -183,29 +232,25 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional"):
     counts = np.fromiter((counter[u] for u in uniq), np.int64, len(uniq))
 
     words, lengths = _pack_validate_umis(uniq)
-    u = len(uniq)
-    if method == "unique" or u == 1:
-        roots = np.arange(u)
-    else:
-        roots = _collapse(umi_adjacency(words, lengths, threshold),
-                          counts, method)
+    roots = _cluster_unique(words, lengths, counts, method, threshold,
+                            block=_block)
     labels_u, rep_nodes = _relabel(roots, counts)
     return labels_u[inverse], [uniq[i] for i in rep_nodes]
 
 
 def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
-                threshold: int = 1, method: str = "directional"):
+                threshold: int = 1, method: str = "directional",
+                _block=None):
     """Full UMI read deduplication: reads carrying UMIs on the 5'/3' ends
     are grouped by insert sequence, and within each group the UMIs are
     clustered (sequencing-error collapse); each cluster is one original
     molecule.  The standard umi_tools-style dedup workflow, which the
     reference's alpha subpackage was building toward.
 
-    All groups are clustered in ONE device pass: the pairwise distance
-    matrix over all unique (insert-group, UMI) pairs is masked so edges
-    never cross groups - per-dispatch latency dominates per-group batches.
-    Above MAX_DENSE_UNIQUE unique pairs the dense matrix would exceed ~1 GB
-    and the collapse falls back to per-group batches.
+    All groups cluster together: adjacency is restricted to keys whose
+    insert group holds >= 2 distinct UMIs (singleton groups - the common
+    case - do no quadratic work at all), computed in memory-bounded row
+    blocks with a group-id mask so edges never cross inserts.
 
     Args:
       reads: list of str/bytes (UMI(s) still attached).
@@ -248,28 +293,14 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     gids = np.fromiter((g for g, _ in uniq), np.int64, len(uniq))
 
     # Validation is uniform: every unique UMI goes through the packed
-    # validity check regardless of which collapse path runs below.
+    # validity check regardless of the collapse path below.
     words, lengths = _pack_validate_umis([u for _, u in uniq])
 
-    u = len(uniq)
-    if method == "unique" or u == 1:
-        roots = np.arange(u)
-    elif u <= MAX_DENSE_UNIQUE:
-        adj = umi_adjacency(words, lengths, threshold)
-        adj &= np.equal.outer(gids, gids)      # edges never cross inserts
-        roots = _collapse(adj, counts, method)
-    else:
-        # Dense matrix would be too large: collapse group by group.
-        roots = np.arange(u)
-        for gid in range(len(inserts)):
-            members = np.flatnonzero(gids == gid)
-            if len(members) < 2:
-                continue
-            sub_adj = umi_adjacency(
-                words[members], lengths[members], threshold)
-            sub_roots = _collapse(sub_adj, counts[members], method)
-            roots[members] = members[sub_roots]
-
+    # Only keys in multi-key groups can merge; everything else roots itself.
+    group_sizes = np.bincount(gids, minlength=len(inserts))
+    candidates = np.flatnonzero(group_sizes[gids] >= 2)
+    roots = _cluster_unique(words, lengths, counts, method, threshold,
+                            gids=gids, candidates=candidates, block=_block)
     labels_u, rep_nodes = _relabel(roots, counts)
     molecules = [(inserts[uniq[i][0]], uniq[i][1]) for i in rep_nodes]
     return labels_u[inverse], molecules

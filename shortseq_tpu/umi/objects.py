@@ -17,6 +17,7 @@ byte count.
 from __future__ import annotations
 
 from ..api import from_bytes, empty
+from .dedup import split_read
 
 
 class UMI:
@@ -121,8 +122,6 @@ class UMIFactory:
             self._cls = UMI
 
     def from_bytes(self, seq_bytes: bytes):
-        from .dedup import split_read
-
         umi5, insert, umi3 = split_read(seq_bytes, self.len_5p, self.len_3p)
         cls = self._cls
         if cls is UMI:

@@ -195,9 +195,9 @@ class TestDedupReadsRegressions:
         with pytest.raises(ValueError, match="longer than 32"):
             dedup_reads(["A" * 40] * 2, len_5p=33)
 
-    def test_one_dispatch_many_groups_matches_per_group(self, rng):
-        # The batched (single-matrix) path must agree with the per-group
-        # fallback path on the same data.
+    def test_blocked_adjacency_matches_single_block(self, rng):
+        # The memory-bounded row-blocked sparse-adjacency path must agree
+        # with the single-block (dense) computation on the same data.
         import shortseq_tpu.umi.dedup as dd
 
         inserts = ["".join(rng.choice("ACTG") for _ in range(20))
@@ -206,12 +206,7 @@ class TestDedupReadsRegressions:
         for ins in inserts:
             reads += ["AACC" + ins] * 3 + ["AACT" + ins, "GGTT" + ins]
         l1, m1 = dd.dedup_reads(reads, len_5p=4)
-        saved = dd.MAX_DENSE_UNIQUE
-        try:
-            dd.MAX_DENSE_UNIQUE = 1  # force the per-group fallback
-            l2, m2 = dd.dedup_reads(reads, len_5p=4)
-        finally:
-            dd.MAX_DENSE_UNIQUE = saved
+        l2, m2 = dd.dedup_reads(reads, len_5p=4, _block=5)  # many blocks
         # Same partition (labels may be permuted) and same molecule set.
         import collections
         part1 = collections.defaultdict(set)
