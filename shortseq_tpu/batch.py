@@ -119,8 +119,14 @@ class PackedBatch:
 
     def __getitem__(self, item) -> "PackedBatch":
         """Row selection (int/slice/array) -> sub-batch."""
-        if isinstance(item, int):
-            item = slice(item, item + 1)
+        if isinstance(item, (int, np.integer)):
+            index = int(item)
+            n = len(self)
+            if index < 0:
+                index += n
+            if index < 0 or index >= n:
+                raise IndexError("batch row index out of range")
+            item = slice(index, index + 1)
         return PackedBatch(self.words[item], self.lengths[item])
 
     # -- ops -----------------------------------------------------------------
@@ -155,17 +161,14 @@ class PackedBatch:
     def counts(self):
         """Exact dedup of this batch -> ShortSeqCounter (device sort-unique,
         count/device.py)."""
-        from .api import from_blocks
-        from .api.counter import ShortSeqCounter
         from .count import count_batch
-        from .count.device import counts_to_host
+        from .dist.pipeline import table_to_counter
 
-        table = counts_to_host(*count_batch(self.words, self.lengths))
-        out = ShortSeqCounter()
-        setter = dict.__setitem__
-        for (length, blocks), count in table:
-            setter(out, from_blocks(blocks, length), count)
-        return out
+        if len(self) == 0:
+            from .api.counter import ShortSeqCounter
+
+            return ShortSeqCounter()
+        return table_to_counter(count_batch(self.words, self.lengths))
 
     # -- materialization -----------------------------------------------------
 
@@ -186,18 +189,12 @@ class PackedBatch:
         """Materialize scalar ShortSeq objects (native extension when
         built) directly from the packed words - no re-encoding."""
         from .api import from_blocks
+        from .count.device import _rows_to_table
 
-        words = np.asarray(self.words).astype(np.uint64)
-        if words.shape[1] % 2:  # odd lane count: pad to a full 64-bit block
-            words = np.pad(words, ((0, 0), (0, 1)))
-        lengths = np.asarray(self.lengths)
-        blocks64 = words[:, 0::2] | (words[:, 1::2] << np.uint64(32))
-        out = []
-        for i, length in enumerate(lengths):
-            nblocks = max(1, -(-int(length) // 32))
-            out.append(from_blocks(
-                tuple(int(b) for b in blocks64[i, :nblocks]), int(length)))
-        return out
+        table = _rows_to_table(np.asarray(self.words),
+                               np.asarray(self.lengths),
+                               np.zeros(len(self), np.int32))
+        return [from_blocks(blocks, length) for (length, blocks), _ in table]
 
 
 def pack_batch(seqs, width: int | None = None) -> PackedBatch:

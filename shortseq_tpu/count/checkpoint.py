@@ -40,6 +40,30 @@ def load_table(path):
         return z["words"], z["lengths"], z["counts"]
 
 
+def check_manifest(directory, **params) -> None:
+    """Guard against resuming with incompatible parameters: shard tables
+    are keyed by (host, shard), so reusing a checkpoint dir with a
+    different file / shard count / host count would silently merge wrong
+    counts.  Writes `manifest.json` on first use; raises if an existing
+    manifest disagrees."""
+    import json
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    path = directory / "manifest.json"
+    if path.exists():
+        existing = json.loads(path.read_text())
+        if existing != params:
+            raise ValueError(
+                f"checkpoint dir {directory} was written with "
+                f"{existing}, now asked to resume with {params}; "
+                "clear the directory or use a fresh one")
+        return
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(params))
+    os.replace(tmp, path)
+
+
 def shard_path(directory, host: int, shard: int) -> Path:
     return Path(directory) / f"counts_h{host:04d}_s{shard:06d}.npz"
 

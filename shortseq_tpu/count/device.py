@@ -52,6 +52,13 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
     n, w = words.shape
     if n_out is None:
         n_out = n
+    if n == 0:
+        # Degenerate empty batch (e.g. counting an empty file): a 1-row
+        # all-pad table keeps every downstream shape rule intact.
+        return (jnp.zeros((max(n_out, 1), w), jnp.uint32),
+                jnp.full((max(n_out, 1),), PAD_LENGTH, jnp.int32),
+                jnp.zeros((max(n_out, 1),), jnp.int32),
+                jnp.int32(0))
 
     # 1. Lexicographic sort.  Keys: length first (cheap early discriminator
     # and groups the PAD rows last), then lanes most-significant-first so
@@ -83,10 +90,15 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
     u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(
         s_lengths, mode="drop")
 
-    n_groups = seg_id[-1] + 1
-    # The PAD rows (if any) formed the final group; drop it from the count.
-    has_pad = s_lengths[-1] == PAD_LENGTH
-    n_unique = n_groups - has_pad.astype(jnp.int32)
+    # PAD rows sort strictly after every live row (PAD_LENGTH is the int32
+    # max and length is the leading sort key), so live rows are a prefix.
+    # Count the groups of that prefix - robust even when dead rows carry
+    # stale words and split into several trailing pad groups.
+    live_count = jnp.sum(live.astype(jnp.int32))
+    n_unique = jnp.where(
+        live_count > 0,
+        seg_id[jnp.maximum(live_count - 1, 0)] + 1,
+        0).astype(jnp.int32)
     # Normalize the pad group's slot so padding is canonical.
     u_lengths = jnp.where(jnp.arange(n_out) < n_unique, u_lengths, PAD_LENGTH)
     counts = jnp.where(jnp.arange(n_out) < n_unique, counts, 0)
@@ -141,6 +153,16 @@ def counts_to_host(u_words, u_lengths, u_counts, n_unique):
 def _rows_to_table(w, lens, cnts):
     import numpy as np
 
+    # Device counts are int32 (TPU-native width); a single table row
+    # overflowing it would wrap negative - detect instead of silently
+    # corrupting (the reference's Python ints are unbounded).  Hitting this
+    # requires >2^31 occurrences of one sequence within one merge tree;
+    # split the merge into sub-merges materialized to host (Python ints)
+    # if a dataset ever does.
+    cnts = np.asarray(cnts)
+    if len(cnts) and int(cnts.min()) < 0:
+        raise OverflowError(
+            "count table entry exceeded int32; merge in smaller pieces")
     w = w.astype(np.uint64)
     if w.shape[1] % 2:  # odd lane count: pad to a full 64-bit block
         w = np.pad(w, ((0, 0), (0, 1)))

@@ -88,6 +88,12 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0):
         # max load of m balls in D bins is m/D + O(sqrt(m/D log D))).
         cap = min(n, int(np.ceil(n / n_dev * capacity_factor)) + 16)
         bucket = _bucket_hash(words, lengths, n_dev)
+        # Padding rows (PAD_LENGTH sentinel, e.g. from power-of-two batch
+        # padding) are dropped before the exchange: they must not consume
+        # bucket capacity or trip the overflow flag.  Assign them a
+        # virtual bucket D so they sort after every live row.
+        live = lengths != PAD_LENGTH
+        bucket = jnp.where(live, bucket, jnp.uint32(n_dev))
 
         # Stable sort rows by destination bucket, then slot rows into a
         # [D, cap, ...] send buffer; row r of its bucket goes to slot r.
@@ -96,14 +102,15 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0):
         s_words = words[order]
         s_lengths = lengths[order]
         s_weights = weights[order]
+        s_live = s_bucket < n_dev
         # rank within bucket = position - first position of that bucket
         pos = jnp.arange(n)
         first = jnp.searchsorted(s_bucket, jnp.arange(n_dev, dtype=s_bucket.dtype))
-        rank = pos - first[s_bucket]
-        overflow = jnp.any(rank >= cap)
-        # Overflow rows scatter out of bounds and are dropped (the flag
-        # tells the caller the whole result must be discarded).
-        dest = jnp.where(rank < cap,
+        rank = pos - first[jnp.minimum(s_bucket, n_dev - 1)]
+        overflow = jnp.any(s_live & (rank >= cap))
+        # Overflow and pad rows scatter out of bounds and are dropped (on
+        # overflow the flag tells the caller to discard the whole result).
+        dest = jnp.where(s_live & (rank < cap),
                          s_bucket.astype(jnp.int32) * cap + rank,
                          n_dev * cap)
 

@@ -15,12 +15,30 @@ from jax.sharding import Mesh
 def initialize_distributed(**kwargs) -> None:
     """Multi-controller bring-up (`jax.distributed.initialize`).
 
-    No-op when running single-process (the common dev path); on a pod
-    slice each host calls this before building the mesh.  The reference has
-    no equivalent - it is single-process by construction.
+    Must run before any JAX computation, so the decision cannot consult
+    jax.process_count() (which itself initializes the backend).  The call
+    happens when the caller passes explicit kwargs (coordinator_address
+    etc.) or when the standard multi-process environment markers are
+    present (JAX service env, or a TPU pod environment where
+    auto-detection works); single-process dev runs are a no-op.  Safe to
+    call twice - an already-initialized runtime is left alone.
+
+    The reference has no equivalent - it is single-process by construction.
     """
-    if jax.process_count() > 1 or kwargs:
+    import os
+
+    want = bool(kwargs) or any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not want:
+        return
+    try:
         jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # Already initialized (idempotent call) - anything else propagates.
+        if "already" not in str(e).lower():
+            raise
 
 
 def data_mesh(devices=None) -> Mesh:

@@ -82,21 +82,25 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
     With config.checkpoint_dir set, each shard's table is spilled after
     counting and completed shards are skipped on resume.
     """
-    from ..count.checkpoint import (completed_shards, merge_tables,
-                                    save_table, shard_path)
+    from ..count.checkpoint import (check_manifest, completed_shards,
+                                    load_table, save_table, shard_path)
     from ..io.fastq import read_fastq_matrix
     from ..utils.warmup import start_transfer_warmup
 
     start_transfer_warmup()
     size = os.path.getsize(filename)
     ckpt = config.checkpoint_dir
-    done = completed_shards(ckpt, host) if ckpt else set()
+    done = set()
+    if ckpt:
+        # Refuse to resume with incompatible sharding / a different file.
+        check_manifest(ckpt, file=os.path.basename(str(filename)),
+                       size=size, n_shards=n_shards, n_hosts=n_hosts)
+        done = completed_shards(ckpt, host)
 
-    tables = []  # in-memory host tables for non-checkpointed runs
-    paths = []
+    tables = []  # host tables: freshly counted shards + resumed loads
     for shard in range(host, n_shards, n_hosts):
         if shard in done:
-            paths.append(shard_path(ckpt, host, shard))
+            tables.append(load_table(shard_path(ckpt, host, shard)))
             continue
         lo = shard * size // n_shards
         hi = (shard + 1) * size // n_shards
@@ -104,14 +108,10 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
         shard_tables = list(_batched_count_tables(mat, lengths, config))
         if ckpt:
             merged = _merge_device_tables(shard_tables)
-            p = shard_path(ckpt, host, shard)
-            save_table(p, *merged)
-            paths.append(p)
+            save_table(shard_path(ckpt, host, shard), *merged)
+            tables.append(_table_to_host(merged))
         else:
-            tables.extend(
-                _table_to_host(t) for t in shard_tables)
-    if ckpt:
-        return merge_tables(paths)
+            tables.extend(_table_to_host(t) for t in shard_tables)
     return _merge_host_tables(tables)
 
 

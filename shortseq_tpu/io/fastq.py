@@ -102,9 +102,11 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
         return np.zeros((0, pad_to), dtype=np.uint8), lengths
     max_len = int(lengths.max())
     width = max(pad_to, -(-max_len // pad_to) * pad_to)
-    offsets = starts[:, None] + np.arange(width)[None, :]
-    mask = np.arange(width)[None, :] < lengths[:, None]
-    mat = np.where(mask, buf[np.minimum(offsets, buf.size - 1)], 0).astype(np.uint8)
+    # Row-wise copies: transient memory stays O(matrix), not the ~10x of a
+    # full [N, width] int64 offsets matrix + mask + clamped gather.
+    mat = np.zeros((n, width), dtype=np.uint8)
+    for i in range(n):
+        mat[i, :lengths[i]] = buf[starts[i]:ends[i]]
     return mat, lengths
 
 
