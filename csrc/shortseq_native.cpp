@@ -280,13 +280,11 @@ static PyObject* ss_richcompare(PyObject* self, PyObject* other, int op) {
       eq = memcmp(buf, PyUnicode_1BYTE_DATA(other), la) == 0;
     }
   } else if (PyBytes_Check(other)) {
-    Py_ssize_t la = get_length(self);
-    if (PyBytes_GET_SIZE(other) == la) {
-      char buf[kMaxVar];
-      uint64_t scratch;
-      decode_into(get_blocks(self, &scratch), la, buf);
-      eq = memcmp(buf, PyBytes_AS_STRING(other), la) == 0;
-    }
+    // Parity quirk: the reference compares str(self) == other even for
+    // bytes (short_seq_64.pyx:45-47), and str == bytes is always False in
+    // Python 3 - so equality against bytes is False, matching both the
+    // reference and the pure-Python backend.
+    eq = false;
   } else if (is_shortseq(other)) {
     eq = false;  // different width classes never compare equal
   } else {
@@ -318,8 +316,12 @@ static PyObject* ss_subscript(PyObject* self, PyObject* item) {
     slice_into(blocks, blocks_for(length), start, slice_len, out);
     return make_from_blocks(out, slice_len);
   }
-  if (PyIndex_Check(item)) {
-    Py_ssize_t index = PyNumber_AsSsize_t(item, PyExc_IndexError);
+  if (PyLong_Check(item)) {
+    // Exact int only (plus bool/int subclasses), matching the python
+    // backend's isinstance(item, int) and the reference (short_seq_64.pyx
+    // :67) - numpy integers raise the Invalid-index TypeError on every
+    // backend rather than working only when the extension compiled.
+    Py_ssize_t index = PyLong_AsSsize_t(item);
     if (index == -1 && PyErr_Occurred()) return nullptr;
     if (index < 0) index += length;
     if (index < 0 || index >= length) {
@@ -557,8 +559,10 @@ static PyObject* py_count_bytes_list(PyObject*, PyObject* args) {
     return nullptr;
   PyObject* one = PyLong_FromLong(1);
   if (!one) return nullptr;
-  Py_ssize_t n = PyList_GET_SIZE(list);
-  for (Py_ssize_t i = 0; i < n; ++i) {
+  // Re-read the size every iteration: dict operations below can run
+  // arbitrary Python (__eq__ of a hash-colliding foreign key, GC) that
+  // may mutate the list.
+  for (Py_ssize_t i = 0; i < PyList_GET_SIZE(list); ++i) {
     PyObject* item = PyList_GET_ITEM(list, i);
     if (!PyBytes_Check(item)) {
       Py_DECREF(one);
@@ -575,8 +579,9 @@ static PyObject* py_count_bytes_list(PyObject*, PyObject* args) {
     PyObject* cur = PyDict_GetItemWithError(dict, key);  // borrowed
     int rc;
     if (cur) {
-      long v = PyLong_AsLong(cur);
-      PyObject* nv = PyLong_FromLong(v + 1);
+      // PyNumber_Add (like the reference's `oldval + 1`, counter.pyx:53)
+      // raises a clean TypeError on non-numeric values and never wraps.
+      PyObject* nv = PyNumber_Add(cur, one);
       rc = nv ? PyDict_SetItem(dict, key, nv) : -1;
       Py_XDECREF(nv);
     } else if (PyErr_Occurred()) {

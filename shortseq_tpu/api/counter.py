@@ -127,8 +127,9 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
         words, ok = pack_and_validate(jnp.asarray(rows), jnp.asarray(val_len))
         ok = np.asarray(ok)[:m]
         if not ok.all():
-            bad_row = rows[int(np.argmin(ok))]
-            bad_len = int(sub_len[int(np.argmin(ok))])
+            bad_idx = int(np.argmin(ok))
+            bad_row = rows[bad_idx]
+            bad_len = int(sub_len[bad_idx])
             bad = next(chr(c) for c in bad_row[:bad_len]
                        if chr(c) not in "ACGT")
             raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")

@@ -60,7 +60,7 @@ class _Probe:
 _GC_HEAD = sys.getsizeof(_Probe()) - _Probe().__sizeof__()
 
 
-def _getitem(blocks, length, item, owner):
+def _getitem(blocks, length, item):
     """Shared subscript/slice engine (reference short_seq.pyx:78-238 plus the
     per-class __getitem__ bodies, e.g. short_seq_64.pyx:51-75)."""
     if isinstance(item, slice):
@@ -135,7 +135,7 @@ class ShortSeq64:
             return False
 
     def __getitem__(self, item):
-        return _getitem((self._packed,), self._length, item, self)
+        return _getitem((self._packed,), self._length, item)
 
     def __xor__(self, other):
         if type(other) is not ShortSeq64:
@@ -178,7 +178,7 @@ class ShortSeq192:
             return False
 
     def __getitem__(self, item):
-        return _getitem(self._blocks, self._length, item, self)
+        return _getitem(self._blocks, self._length, item)
 
     def __xor__(self, other):
         if type(other) is not ShortSeq192:
@@ -222,7 +222,7 @@ class ShortSeqVar:
             return False
 
     def __getitem__(self, item):
-        return _getitem(self._blocks, self._length, item, self)
+        return _getitem(self._blocks, self._length, item)
 
     def __xor__(self, other):
         if type(other) is not ShortSeqVar:

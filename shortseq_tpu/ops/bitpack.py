@@ -83,29 +83,31 @@ def unpack_ascii(words: jax.Array, out_len: int | None = None) -> jax.Array:
     return ascii_out
 
 
-def validate(ascii_u8: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Per-row validity mask: True iff every byte before the row's length is
-    an uppercase A/C/G/T (reference bloom semantics on printable ASCII,
-    util.pxd:88-127)."""
+def _invalid_mask(ascii_u8: jax.Array, lengths: jax.Array):
+    """(positions, per-byte invalid mask): a byte is invalid iff it sits
+    before its row's length and is not uppercase A/C/G/T (reference bloom
+    semantics on printable ASCII, util.pxd:88-127)."""
     n, l = ascii_u8.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
     in_range = pos < lengths[:, None]
     x = ascii_u8
     is_acgt = (x == 65) | (x == 67) | (x == 71) | (x == 84)
-    return jnp.all(is_acgt | ~in_range, axis=1)
+    return pos, ~is_acgt & in_range
+
+
+def validate(ascii_u8: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Per-row validity mask: True iff no byte before the row's length is
+    invalid."""
+    _, bad = _invalid_mask(ascii_u8, lengths)
+    return ~jnp.any(bad, axis=1)
 
 
 def first_bad_byte(ascii_u8: jax.Array, lengths: jax.Array):
     """For error reporting: per-row index of the first invalid byte (or L if
     none).  Lets the host raise the reference's exact per-character message
     (short_seq_64.pyx:105) from batched validation."""
-    n, l = ascii_u8.shape
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
-    in_range = pos < lengths[:, None]
-    x = ascii_u8
-    is_acgt = (x == 65) | (x == 67) | (x == 71) | (x == 84)
-    bad = ~is_acgt & in_range
-    return jnp.min(jnp.where(bad, pos, l), axis=1)
+    pos, bad = _invalid_mask(ascii_u8, lengths)
+    return jnp.min(jnp.where(bad, pos, ascii_u8.shape[1]), axis=1)
 
 
 def collapse_xor(c: jax.Array) -> jax.Array:
