@@ -134,3 +134,26 @@ class TestShardedPipeline:
         path, reads = fastq
         table = read_and_count_fastq_distributed(path)
         assert _as_dict(table) == dict(collections.Counter(reads))
+
+    def test_partial_resume_recounts_only_missing(self, fastq, tmp_path):
+        # Simulate a crash after some shards: delete one table, re-run, and
+        # the result must still be exact (missing shard recounted, others
+        # loaded from disk).
+        from shortseq_tpu.config import PipelineConfig
+        from shortseq_tpu.count.checkpoint import completed_shards, shard_path
+        from shortseq_tpu.dist.pipeline import count_fastq_sharded
+        from shortseq_tpu.io.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("needs native sharder")
+        path, reads = fastq
+        ckpt = tmp_path / "ckpt_partial"
+        cfg = PipelineConfig(checkpoint_dir=str(ckpt))
+        count_fastq_sharded(path, n_shards=4, config=cfg)
+        assert completed_shards(ckpt, 0) == {0, 1, 2, 3}
+
+        shard_path(ckpt, 0, 2).unlink()  # "crash" lost shard 2
+        assert completed_shards(ckpt, 0) == {0, 1, 3}
+        table = count_fastq_sharded(path, n_shards=4, config=cfg)
+        assert completed_shards(ckpt, 0) == {0, 1, 2, 3}
+        assert _as_dict(table) == dict(collections.Counter(reads))
