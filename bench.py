@@ -153,24 +153,32 @@ def bench_dispatch(width=160, n=1 << 16):
     return best
 
 
+def _try(fn, *args):
+    try:
+        return fn(*args)
+    except Exception as e:  # one failed bench must not kill the report
+        return f"error: {type(e).__name__}: {e}"[:200]
+
+
 def main():
     from shortseq_tpu.utils.warmup import start_transfer_warmup
 
     start_transfer_warmup()
-    nt_per_s = bench_pack()
+    nt_per_s = _try(bench_pack)
     extra = {
-        "hamming_pairs_per_s": bench_hamming(),
-        "pairwise_hamming_pairs_per_s": bench_pairwise(),
-        "dedup_reads_per_s": bench_dedup(),
-        "dispatch_latency_s": bench_dispatch(),
-        "backend": jax.devices()[0].platform,
+        "hamming_pairs_per_s": _try(bench_hamming),
+        "pairwise_hamming_pairs_per_s": _try(bench_pairwise),
+        "dedup_reads_per_s": _try(bench_dedup),
+        "dispatch_latency_s": _try(bench_dispatch),
+        "backend": _try(lambda: jax.devices()[0].platform),
     }
+    ok = isinstance(nt_per_s, float)
     print(json.dumps({
         "metric": "pack_nt_per_s_chip",
-        "value": nt_per_s,
+        "value": nt_per_s if ok else 0.0,
         "unit": "nt/s",
-        "vs_baseline": nt_per_s / BASELINE_NT_PER_S,
-        "extra": extra,
+        "vs_baseline": (nt_per_s / BASELINE_NT_PER_S) if ok else 0.0,
+        "extra": extra if ok else {**extra, "pack_error": nt_per_s},
     }))
 
 
