@@ -68,6 +68,40 @@ class ShortSeqCounter(dict):
             setter(self, s, get(s, 0) + c)
 
 
+def update_counter_from_host_table(counter, words, lengths, counts) -> None:
+    """Add a host count table (words `[M, W]` uint32, lengths `[M]` int32,
+    counts `[M]` int32/int64) into `counter` - one native call for the
+    whole table when the extension is built (the role of the reference's
+    known-hash dict inserts, counter.pyx:41-54), a Python loop otherwise.
+    """
+    import numpy as np
+
+    from ..native_build import load as _load_native
+
+    counts = np.asarray(counts)
+    # int32 device counts that wrapped negative must fail loudly, on every
+    # backend (see count/device._rows_to_table).
+    if counts.size and int(counts.min()) < 0:
+        raise OverflowError(
+            "count table entry exceeded int32; merge in smaller pieces")
+    native = _load_native()
+    if native is not None and hasattr(native, "update_from_table"):
+        native.update_from_table(
+            counter,
+            np.ascontiguousarray(words, dtype=np.uint32),
+            np.ascontiguousarray(lengths, dtype=np.int32),
+            np.ascontiguousarray(counts))
+        return
+    from ..count.device import _rows_to_table
+
+    b = _backend()
+    setter = dict.__setitem__
+    for (length, blocks), count in _rows_to_table(
+            np.asarray(words), np.asarray(lengths), counts):
+        key = b.from_blocks(blocks, length)
+        setter(counter, key, counter.get(key, 0) + count)
+
+
 def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     """Count a padded ASCII read matrix on device and materialize a
     reference-identical ShortSeqCounter.
@@ -82,18 +116,19 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     from ..constants import (MAX_64_NT, MAX_192_NT, MAX_VAR_NT,
                              TOO_LONG_MSG, UNSUPPORTED_BASE_MSG)
 
-    b = _backend()
     counts = ShortSeqCounter()
     if len(lengths) == 0:
         return counts
     if int(np.max(lengths)) > MAX_VAR_NT:
         raise Exception(TOO_LONG_MSG)
 
+    import jax
     import jax.numpy as jnp
 
     from ..count import count_batch
-    from ..count.device import PAD_LENGTH, counts_to_host
-    from ..ops.bitpack import pack_and_validate
+    from ..count.device import PAD_LENGTH
+    from ..oracle import first_invalid_char
+    from ..ops.bitpack import pack_and_validate_u32
     from ..utils.warmup import start_transfer_warmup
 
     # This pipeline fetches device results; overlap the one-time d2h
@@ -102,7 +137,6 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
 
     edges = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
              (MAX_192_NT, MAX_VAR_NT, 1024)]
-    setter = dict.__setitem__
     for lo, hi, width in edges:
         sel = (lengths > lo) & (lengths <= hi)
         if lo == 0:
@@ -124,19 +158,20 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
                              constant_values=PAD_LENGTH)
         # Pad rows validate with length 0 (all-zero rows are vacuously ok).
         val_len = np.where(sub_len == PAD_LENGTH, 0, sub_len).astype(np.int32)
-        words, ok = pack_and_validate(jnp.asarray(rows), jnp.asarray(val_len))
+        words, ok = pack_and_validate_u32(
+            jnp.asarray(np.ascontiguousarray(rows).view(np.uint32)),
+            jnp.asarray(val_len))
         ok = np.asarray(ok)[:m]
         if not ok.all():
             bad_idx = int(np.argmin(ok))
-            bad_row = rows[bad_idx]
-            bad_len = int(sub_len[bad_idx])
-            bad = next(chr(c) for c in bad_row[:bad_len]
-                       if chr(c) not in "ACGT")
+            bad = first_invalid_char(rows[bad_idx][:int(sub_len[bad_idx])])
             raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
-        table = counts_to_host(*count_batch(words, jnp.asarray(sub_len)))
-        for (length, blocks), count in table:
-            key = b.from_blocks(blocks, length)
-            setter(counts, key, counts.get(key, 0) + count)
+        u_w, u_l, u_c, n_u = count_batch(words, jnp.asarray(sub_len))
+        u_w, u_l, u_c, n_u = jax.device_get((u_w, u_l, u_c, n_u))
+        n_live = int(n_u)
+        update_counter_from_host_table(
+            counts, np.asarray(u_w)[:n_live], np.asarray(u_l)[:n_live],
+            np.asarray(u_c)[:n_live])
     return counts
 
 

@@ -83,29 +83,32 @@ class PackedBatch:
     def from_seqs(cls, seqs, width: int | None = None) -> "PackedBatch":
         """Pack a list of str/bytes, validating every base on device and
         raising the reference's error (short_seq_64.pyx:105) on failure."""
-        from .ops.bitpack import pack_and_validate
+        from .oracle import first_invalid_char
+        from .ops.bitpack import pack_and_validate_u32
         from .utils.warmup import start_transfer_warmup
 
         mat, lengths = _ascii_matrix(seqs, width)
         if len(seqs) == 0:
             return cls(jnp.zeros((0, 1), jnp.uint32), jnp.asarray(lengths))
         start_transfer_warmup()
-        words, ok = pack_and_validate(jnp.asarray(mat), jnp.asarray(lengths))
+        words, ok = pack_and_validate_u32(
+            jnp.asarray(mat.view(np.uint32)), jnp.asarray(lengths))
         ok = np.asarray(ok)
         if not ok.all():
             i = int(np.argmin(ok))
-            bad = next(chr(c) for c in mat[i, :lengths[i]]
-                       if chr(c) not in "ACGT")
+            bad = first_invalid_char(mat[i, :lengths[i]])
             raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
         return cls(words, jnp.asarray(lengths))
 
     @classmethod
     def from_matrix(cls, mat, lengths) -> "PackedBatch":
         """Pack an already-padded uint8 ASCII matrix (e.g. straight from
-        io.read_fastq_matrix) without validation."""
-        from .ops.bitpack import pack_words
+        io.read_fastq_matrix) without validation.  The device receives the
+        matrix as its uint32 view (same bytes, no relayout on device)."""
+        from .ops.bitpack import pack_words_u32
 
-        return cls(pack_words(jnp.asarray(mat)),
+        mat = np.ascontiguousarray(mat, np.uint8)
+        return cls(pack_words_u32(jnp.asarray(mat.view(np.uint32))),
                    jnp.asarray(lengths, dtype=jnp.int32))
 
     # -- shape ---------------------------------------------------------------
@@ -186,14 +189,20 @@ class PackedBatch:
                 for i in range(len(lengths))]
 
     def to_objects(self) -> list:
-        """Materialize scalar ShortSeq objects (native extension when
-        built) directly from the packed words - no re-encoding."""
+        """Materialize scalar ShortSeq objects directly from the packed
+        words - one native call for the batch when the extension is built,
+        no re-encoding either way."""
+        from .native_build import load as _load_native
+
+        words = np.ascontiguousarray(np.asarray(self.words), np.uint32)
+        lengths = np.ascontiguousarray(np.asarray(self.lengths), np.int32)
+        native = _load_native()
+        if native is not None and hasattr(native, "seqs_from_rows"):
+            return native.seqs_from_rows(words, lengths)
         from .api import from_blocks
         from .count.device import _rows_to_table
 
-        table = _rows_to_table(np.asarray(self.words),
-                               np.asarray(self.lengths),
-                               np.zeros(len(self), np.int32))
+        table = _rows_to_table(words, lengths, np.zeros(len(self), np.int32))
         return [from_blocks(blocks, length) for (length, blocks), _ in table]
 
 

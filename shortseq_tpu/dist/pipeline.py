@@ -29,7 +29,8 @@ def _batched_count_tables(mat, lengths, config: PipelineConfig):
     from ..constants import MAX_64_NT, MAX_192_NT, MAX_VAR_NT, TOO_LONG_MSG
     from ..count import unique_count
     from ..count.device import PAD_LENGTH
-    from ..ops.bitpack import pack_and_validate
+    from ..oracle import first_invalid_char
+    from ..ops.bitpack import pack_and_validate_u32
 
     if len(lengths) and int(np.max(lengths)) > MAX_VAR_NT:
         raise Exception(TOO_LONG_MSG)
@@ -57,15 +58,15 @@ def _batched_count_tables(mat, lengths, config: PipelineConfig):
                                  constant_values=PAD_LENGTH)
             val_len = np.where(
                 sub_len == PAD_LENGTH, 0, sub_len).astype(np.int32)
-            words, ok = pack_and_validate(
-                jnp.asarray(rows), jnp.asarray(val_len))
+            words, ok = pack_and_validate_u32(
+                jnp.asarray(np.ascontiguousarray(rows).view(np.uint32)),
+                jnp.asarray(val_len))
             ok = np.asarray(ok)[:m]
             if not ok.all():
                 from ..constants import UNSUPPORTED_BASE_MSG
 
                 i = int(np.argmin(ok))
-                bad = next(chr(c) for c in rows[i, :val_len[i]]
-                           if chr(c) not in "ACGT")
+                bad = first_invalid_char(rows[i, :val_len[i]])
                 raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
             yield unique_count(words, jnp.asarray(sub_len),
                                jnp.ones(m_pad, jnp.int32))
@@ -226,13 +227,15 @@ def read_and_count_fastq_distributed(filename, n_shards: int | None = None,
 
 
 def table_to_counter(table):
-    """Merged device table -> reference-identical ShortSeqCounter."""
-    from ..api import from_blocks
-    from ..api.counter import ShortSeqCounter
-    from ..count.device import counts_to_host
+    """Merged device table -> reference-identical ShortSeqCounter (one
+    native call for the whole table, api.counter.update_counter_from_host_table)."""
+    import jax
+
+    from ..api.counter import ShortSeqCounter, update_counter_from_host_table
 
     out = ShortSeqCounter()
-    setter = dict.__setitem__
-    for (length, blocks), count in counts_to_host(*table):
-        setter(out, from_blocks(blocks, length), count)
+    u_w, u_l, u_c, n_u = jax.device_get(table)
+    n = int(n_u)
+    update_counter_from_host_table(
+        out, np.asarray(u_w)[:n], np.asarray(u_l)[:n], np.asarray(u_c)[:n])
     return out

@@ -1,9 +1,13 @@
 from .bitpack import (
     pack_words,
+    pack_words_u32,
     unpack_ascii,
     validate,
+    validate_u32,
     first_bad_byte,
+    first_bad_byte_u32,
     pack_and_validate,
+    pack_and_validate_u32,
     collapse_xor,
 )
 from .hamming import hamming_rows, hamming_pairwise

@@ -33,6 +33,18 @@ def is_base(byte: int) -> bool:
     return BLOOM & (1 << (byte & 63)) == 0
 
 
+def first_invalid_char(seq) -> str | None:
+    """First byte of `seq` (bytes / uint8 iterable) failing the bloom
+    filter, as a 1-char str for the reference's error message - or None.
+    Shared by every batched path that must convert a device validity mask
+    back into the reference's per-character exception."""
+    for c in seq:
+        c = int(c)
+        if not is_base(c):
+            return chr(c)
+    return None
+
+
 def encode_bytes(seq: bytes) -> List[int]:
     """Pack ASCII bytes into a list of 64-bit blocks, LSB-first.
 
