@@ -599,6 +599,153 @@ static PyObject* py_count_bytes_list(PyObject*, PyObject* args) {
   Py_RETURN_NONE;
 }
 
+// --- Batch materialization from device count tables ------------------------
+//
+// The device count engine (shortseq_tpu/count/device.py) produces
+// struct-of-arrays tables: words [M, W] uint32 lanes, lengths [M] int32,
+// counts [M] int32/int64.  Materializing a ShortSeqCounter from them used
+// to be a per-key Python loop (tuple build + from_blocks call + dict
+// insert per row); these entry points do the whole table in one C call -
+// the role _PyDict_SetItem_KnownHash plays in the reference's ingest
+// (reference counter.pyx:41-54).
+
+struct TableView {
+  Py_buffer words, lengths, counts;
+  Py_ssize_t n, lanes;
+  bool ok;
+};
+
+static void table_release(TableView* t) {
+  if (t->words.obj) PyBuffer_Release(&t->words);
+  if (t->lengths.obj) PyBuffer_Release(&t->lengths);
+  if (t->counts.obj) PyBuffer_Release(&t->counts);
+}
+
+// Acquire C-contiguous buffers for (words [M, W] u32, lengths [M] i32,
+// counts [M] i32/i64 or nullptr).  Validates shapes agree.
+static TableView table_acquire(PyObject* words, PyObject* lengths,
+                               PyObject* counts) {
+  TableView t = {};
+  t.ok = false;
+  if (PyObject_GetBuffer(words, &t.words, PyBUF_C_CONTIGUOUS) < 0) return t;
+  if (PyObject_GetBuffer(lengths, &t.lengths, PyBUF_C_CONTIGUOUS) < 0) {
+    table_release(&t);
+    return t;
+  }
+  if (counts &&
+      PyObject_GetBuffer(counts, &t.counts, PyBUF_C_CONTIGUOUS) < 0) {
+    table_release(&t);
+    return t;
+  }
+  if (t.words.ndim != 2 || t.words.itemsize != 4 || t.lengths.ndim != 1 ||
+      t.lengths.itemsize != 4 ||
+      (counts && (t.counts.ndim != 1 ||
+                  (t.counts.itemsize != 4 && t.counts.itemsize != 8)))) {
+    PyErr_SetString(PyExc_TypeError,
+                    "expected words uint32 [M, W], lengths int32 [M], "
+                    "counts int32/int64 [M]");
+    table_release(&t);
+    return t;
+  }
+  t.n = t.words.shape[0];
+  t.lanes = t.words.shape[1];
+  if (t.lengths.shape[0] != t.n || (counts && t.counts.shape[0] != t.n)) {
+    PyErr_SetString(PyExc_ValueError, "table arrays disagree on row count");
+    table_release(&t);
+    return t;
+  }
+  t.ok = true;
+  return t;
+}
+
+// Lane row (uint32 LE pairs) -> narrowest ShortSeq object.
+static PyObject* row_to_seq(const uint32_t* lanes, Py_ssize_t n_lanes,
+                            Py_ssize_t length) {
+  if (length < 0 || length > kMaxVar) {
+    PyErr_Format(PyExc_ValueError, "invalid row length %zd", length);
+    return nullptr;
+  }
+  uint64_t blocks[kMaxVar / kNtPerBlock] = {0};
+  Py_ssize_t nb = blocks_for(length);
+  for (Py_ssize_t b = 0; b < nb; ++b) {
+    uint64_t lo = 2 * b < n_lanes ? lanes[2 * b] : 0;
+    uint64_t hi = 2 * b + 1 < n_lanes ? lanes[2 * b + 1] : 0;
+    blocks[b] = lo | (hi << 32);
+  }
+  return make_from_blocks(blocks, length);
+}
+
+// update_from_table(dict, words, lengths, counts): add each row's count to
+// dict[row_key].  One call per table instead of one Python iteration per
+// unique read.
+static PyObject* py_update_from_table(PyObject*, PyObject* args) {
+  PyObject* dict;
+  PyObject* words;
+  PyObject* lengths;
+  PyObject* counts;
+  if (!PyArg_ParseTuple(args, "O!OOO", &PyDict_Type, &dict, &words, &lengths,
+                        &counts))
+    return nullptr;
+  TableView t = table_acquire(words, lengths, counts);
+  if (!t.ok) return nullptr;
+  const uint32_t* w = (const uint32_t*)t.words.buf;
+  const int32_t* lens = (const int32_t*)t.lengths.buf;
+  int ok = 1;
+  for (Py_ssize_t i = 0; i < t.n && ok; ++i) {
+    long long c = t.counts.itemsize == 8
+                      ? ((const int64_t*)t.counts.buf)[i]
+                      : (long long)((const int32_t*)t.counts.buf)[i];
+    PyObject* key = row_to_seq(w + i * t.lanes, t.lanes, lens[i]);
+    if (!key) {
+      ok = 0;
+      break;
+    }
+    PyObject* cur = PyDict_GetItemWithError(dict, key);  // borrowed
+    if (cur) {
+      PyObject* add = PyLong_FromLongLong(c);
+      PyObject* nv = add ? PyNumber_Add(cur, add) : nullptr;
+      ok = nv && PyDict_SetItem(dict, key, nv) == 0;
+      Py_XDECREF(add);
+      Py_XDECREF(nv);
+    } else if (PyErr_Occurred()) {
+      ok = 0;
+    } else {
+      PyObject* nv = PyLong_FromLongLong(c);
+      ok = nv && PyDict_SetItem(dict, key, nv) == 0;
+      Py_XDECREF(nv);
+    }
+    Py_DECREF(key);
+  }
+  table_release(&t);
+  if (!ok) return nullptr;
+  Py_RETURN_NONE;
+}
+
+// seqs_from_rows(words, lengths) -> list[ShortSeq]: batch object
+// materialization straight from packed lanes (no re-encoding).
+static PyObject* py_seqs_from_rows(PyObject*, PyObject* args) {
+  PyObject* words;
+  PyObject* lengths;
+  if (!PyArg_ParseTuple(args, "OO", &words, &lengths)) return nullptr;
+  TableView t = table_acquire(words, lengths, nullptr);
+  if (!t.ok) return nullptr;
+  const uint32_t* w = (const uint32_t*)t.words.buf;
+  const int32_t* lens = (const int32_t*)t.lengths.buf;
+  PyObject* out = PyList_New(t.n);
+  if (out) {
+    for (Py_ssize_t i = 0; i < t.n; ++i) {
+      PyObject* o = row_to_seq(w + i * t.lanes, t.lanes, lens[i]);
+      if (!o) {
+        Py_CLEAR(out);
+        break;
+      }
+      PyList_SET_ITEM(out, i, o);
+    }
+  }
+  table_release(&t);
+  return out;
+}
+
 static PyObject* py_domain(PyObject*, PyObject* args, int lo, int hi) {
   return Py_BuildValue("(ii)", lo, hi);
 }
@@ -622,6 +769,10 @@ static PyMethodDef module_methods[] = {
      "Build a ShortSeq from reference uint64 blocks + length."},
     {"count_bytes_list", py_count_bytes_list, METH_VARARGS,
      "Count a list of bytes reads into a dict of ShortSeq keys."},
+    {"update_from_table", py_update_from_table, METH_VARARGS,
+     "Add a (words, lengths, counts) device count table into a dict."},
+    {"seqs_from_rows", py_seqs_from_rows, METH_VARARGS,
+     "Materialize a list of ShortSeq objects from packed lane rows."},
     {"get_domain_64", py_domain_64, METH_NOARGS, nullptr},
     {"get_domain_192", py_domain_192, METH_NOARGS, nullptr},
     {"get_domain_var", py_domain_var, METH_NOARGS, nullptr},
