@@ -1,0 +1,50 @@
+"""Worker for test_multihost.py: one of N jax.distributed CPU processes
+driving the multi-host dedup entry point end-to-end.
+
+Usage: multihost_worker.py <process_id> <num_processes> <port> <fastq> <out.json>
+
+Each process initializes the distributed runtime (gloo-backed CPU
+collectives), runs read_and_count_fastq_distributed, and dumps the
+replicated merged table as {seq: count} JSON so the parent test can check
+bit-exact parity against collections.Counter and cross-process agreement.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    pid, n_procs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    fastq, out_path = sys.argv[4], sys.argv[5]
+
+    from shortseq_tpu.dist.mesh import initialize_distributed
+
+    initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=n_procs, process_id=pid)
+
+    import jax
+
+    assert jax.process_count() == n_procs, jax.process_count()
+
+    from shortseq_tpu.count.device import counts_to_host_scattered
+    from shortseq_tpu.dist.pipeline import read_and_count_fastq_distributed
+    from shortseq_tpu.oracle import decode_blocks, lanes_to_blocks
+
+    # More shards than hosts exercises the round-robin shard loop; the
+    # merged table is replicated, so every process can materialize it.
+    table = read_and_count_fastq_distributed(fastq, n_shards=2 * n_procs + 1)
+    u_w, u_l, u_c, n_u = table
+    rows = counts_to_host_scattered(u_w, u_l, u_c)
+    result = {}
+    for (length, blocks), count in rows:
+        seq = decode_blocks(blocks, length)
+        result[seq] = result.get(seq, 0) + count
+    assert len(result) == int(n_u), (len(result), int(n_u))
+    with open(out_path, "w") as f:
+        json.dump(result, f, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
