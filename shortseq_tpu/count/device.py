@@ -83,8 +83,19 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
     # 3. Per-group reductions.  All rows of a group carry identical keys,
     # so the duplicate scatter writes below are deterministic.
     live = s_lengths != PAD_LENGTH
-    counts = jax.ops.segment_sum(
-        jnp.where(live, s_weights, 0), seg_id, num_segments=n_out)
+    live_weights = jnp.where(live, s_weights, 0)
+    counts = jax.ops.segment_sum(live_weights, seg_id, num_segments=n_out)
+    # int32 wrap detection (device ints are 32-bit; jax_enable_x64 is off).
+    # A wrap that lands negative is caught by the host-side min() < 0 check;
+    # a wrap that lands positive (3+ large addends, e.g. 3 x 1.9e9 = +1.4e9
+    # mod 2^32) is caught by comparing against a float32 shadow sum: any
+    # wrap shifts the int32 result by >= 2^32 while float32 accumulation
+    # error stays orders of magnitude below the 2^30 threshold.  Wrapped
+    # groups are poisoned to -1 so every materialization path raises.
+    counts_f = jax.ops.segment_sum(
+        live_weights.astype(jnp.float32), seg_id, num_segments=n_out)
+    wrapped = jnp.abs(counts_f - counts.astype(jnp.float32)) > jnp.float32(2**30)
+    counts = jnp.where(wrapped, jnp.int32(-1), counts)
     u_words = jnp.zeros((n_out, w), jnp.uint32).at[seg_id].set(
         jnp.stack(s_lanes, axis=1), mode="drop")
     u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(
@@ -146,6 +157,14 @@ def counts_to_host(u_words, u_lengths, u_counts, n_unique):
     u_words, u_lengths, u_counts, n_unique = jax.device_get(
         (u_words, u_lengths, u_counts, n_unique))
     n = int(n_unique)
+    if n > len(np.asarray(u_lengths)):
+        # A caller-supplied n_out smaller than the true unique count would
+        # otherwise silently drop keys (unique_count's scatters use
+        # mode="drop"); n_unique counts every real group, so this is
+        # detectable exactly.
+        raise ValueError(
+            f"count table overflow: {n} unique keys but only "
+            f"{len(np.asarray(u_lengths))} output rows (n_out too small)")
     return _rows_to_table(np.asarray(u_words)[:n], np.asarray(u_lengths)[:n],
                           np.asarray(u_counts)[:n])
 

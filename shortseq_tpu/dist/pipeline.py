@@ -84,7 +84,8 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
     counting and completed shards are skipped on resume.
     """
     from ..count.checkpoint import (check_manifest, completed_shards,
-                                    load_table, save_table, shard_path)
+                                    file_fingerprint, load_table, save_table,
+                                    shard_path)
     from ..io.fastq import read_fastq_matrix
     from ..utils.warmup import start_transfer_warmup
 
@@ -93,9 +94,12 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
     ckpt = config.checkpoint_dir
     done = set()
     if ckpt:
-        # Refuse to resume with incompatible sharding / a different file.
+        # Refuse to resume with incompatible sharding, a different file,
+        # or modified content (size alone misses same-size edits -
+        # fingerprint covers head/tail bytes).
         check_manifest(ckpt, file=os.path.basename(str(filename)),
-                       size=size, n_shards=n_shards, n_hosts=n_hosts)
+                       size=size, n_shards=n_shards, n_hosts=n_hosts,
+                       fingerprint=file_fingerprint(filename))
         done = completed_shards(ckpt, host)
 
     tables = []  # host tables: freshly counted shards + resumed loads
@@ -119,8 +123,12 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
 def _table_to_host(table):
     u_words, u_lengths, u_counts, n_unique = table
     n = int(n_unique)
-    return (np.asarray(u_words)[:n], np.asarray(u_lengths)[:n],
-            np.asarray(u_counts)[:n])
+    u_lengths = np.asarray(u_lengths)
+    if n > len(u_lengths):
+        raise ValueError(
+            f"count table overflow: {n} unique keys but only "
+            f"{len(u_lengths)} output rows (n_out too small)")
+    return (np.asarray(u_words)[:n], u_lengths[:n], np.asarray(u_counts)[:n])
 
 
 def _merge_device_tables(tables):

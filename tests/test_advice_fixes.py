@@ -1,0 +1,101 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md).
+
+1. int32 count wraps that land positive are detected (float32 shadow sum
+   poisons the group to -1, so every materialization path raises).
+2. unique_count with n_out smaller than the true unique count raises from
+   counts_to_host instead of silently truncating.
+3. Checkpoint resume refuses a same-size but content-modified input file
+   (manifest fingerprint).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from shortseq_tpu.count.checkpoint import file_fingerprint
+from shortseq_tpu.count.device import counts_to_host, unique_count
+
+
+def _one_key_table(weights, n_out=None):
+    n = len(weights)
+    words = np.zeros((n, 2), np.uint32)
+    words[:, 0] = 0x78
+    lengths = np.full(n, 4, np.int32)
+    return unique_count(jnp.asarray(words), jnp.asarray(lengths),
+                        jnp.asarray(np.asarray(weights, np.int32)),
+                        n_out=n_out)
+
+
+class TestCountWrapDetection:
+    def test_positive_landing_wrap_is_poisoned(self):
+        # 3 x 1_900_000_000 = 5.7e9 = +1_405_032_704 mod 2^32: positive,
+        # so the old min() < 0 check missed it (ADVICE.md item 2).
+        t = _one_key_table([1_900_000_000, 1_900_000_000, 1_900_000_000])
+        with pytest.raises(OverflowError):
+            counts_to_host(*t)
+
+    def test_negative_landing_wrap_still_raises(self):
+        t = _one_key_table([2_000_000_000, 2_000_000_000])
+        with pytest.raises(OverflowError):
+            counts_to_host(*t)
+
+    def test_large_but_legal_counts_survive(self):
+        t = _one_key_table([1_000_000_000, 1_000_000_000])
+        [(key, count)] = counts_to_host(*t)
+        assert count == 2_000_000_000
+
+    def test_update_counter_raises_on_poisoned_table(self):
+        from shortseq_tpu.api.counter import (ShortSeqCounter,
+                                              update_counter_from_host_table)
+
+        with pytest.raises(OverflowError):
+            update_counter_from_host_table(
+                ShortSeqCounter(), np.zeros((1, 2), np.uint32),
+                np.array([4], np.int32), np.array([-1], np.int32))
+
+
+class TestNOutTruncation:
+    def test_too_small_n_out_raises(self):
+        # 4 distinct keys forced into a 2-row table (ADVICE.md item 3).
+        words = np.zeros((4, 2), np.uint32)
+        words[:, 0] = np.arange(4) + 1
+        lengths = np.full(4, 4, np.int32)
+        t = unique_count(jnp.asarray(words), jnp.asarray(lengths),
+                         jnp.ones(4, jnp.int32), n_out=2)
+        assert int(t[3]) == 4  # n_unique reports the true group count
+        with pytest.raises(ValueError, match="n_out too small"):
+            counts_to_host(*t)
+
+    def test_exact_n_out_is_fine(self):
+        words = np.zeros((4, 2), np.uint32)
+        words[:, 0] = np.arange(4) % 2
+        lengths = np.full(4, 4, np.int32)
+        t = unique_count(jnp.asarray(words), jnp.asarray(lengths),
+                         jnp.ones(4, jnp.int32), n_out=2)
+        table = counts_to_host(*t)
+        assert sorted(c for _, c in table) == [2, 2]
+
+
+class TestManifestFingerprint:
+    def test_same_size_modification_refused(self, tmp_path):
+        from shortseq_tpu.config import PipelineConfig
+        from shortseq_tpu.dist.pipeline import count_fastq_sharded
+
+        fq = tmp_path / "r.fastq"
+        fq.write_bytes(b"@r0\nACGT\n+\nIIII\n@r1\nGGCC\n+\nIIII\n")
+        cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+        count_fastq_sharded(str(fq), n_shards=2, config=cfg)
+        # One corrected base, identical size: resume must refuse.
+        fq.write_bytes(b"@r0\nACGT\n+\nIIII\n@r1\nGGCG\n+\nIIII\n")
+        with pytest.raises(ValueError, match="manifest|resume"):
+            count_fastq_sharded(str(fq), n_shards=2, config=cfg)
+
+    def test_fingerprint_reads_head_and_tail(self, tmp_path):
+        p = tmp_path / "big.bin"
+        data = bytearray(200_000)
+        p.write_bytes(bytes(data))
+        f1 = file_fingerprint(p)
+        data[-1] = 7  # tail-only change, same size
+        p.write_bytes(bytes(data))
+        assert file_fingerprint(p) != f1
