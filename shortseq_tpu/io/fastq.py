@@ -51,6 +51,37 @@ def _read_range_synced(filename, lo: int, hi: int):
         return f.read(read_hi - base), base
 
 
+def fastq_sync(data: bytes, offset: int) -> int:
+    """First FASTQ record boundary at or after `offset`: a line start whose
+    line begins '@' and where the line two lines later begins '+'.
+
+    Pure-Python twin of the native ssq_fastq_sync (csrc/fastq_index.cpp) -
+    byte-for-byte the same boundary decisions, so shards computed with and
+    without the native library agree.  Quality lines may legally start with
+    '@' (quality 31 -> chr 64); the look-two-ahead check rejects those,
+    because two lines after a quality line is a sequence line, never '+'.
+    """
+    n = len(data)
+    if offset <= 0:
+        return 0
+    p = data.find(b"\n", max(offset - 1, 0))
+    while p != -1:
+        ls = p + 1
+        if ls >= n:
+            return n
+        if data[ls] == 0x40:  # '@'
+            nl1 = data.find(b"\n", ls)
+            if nl1 == -1:
+                return n
+            nl2 = data.find(b"\n", nl1 + 1)
+            if nl2 == -1:
+                return n
+            if nl2 + 1 < n and data[nl2 + 1] == 0x2B:  # '+'
+                return ls
+        p = data.find(b"\n", ls)
+    return n
+
+
 def fastq_line_index(buf: np.ndarray):
     """Return (starts, ends) byte offsets of every sequence line in a FASTQ
     buffer (newline excluded)."""
@@ -84,14 +115,19 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
         data, base = _read_range_synced(filename, lo, hi)
         native = fastq_matrix_native(
             data, pad_to=pad_to, byte_range=(lo - base, hi - base))
-        if native is None:
-            raise RuntimeError("byte_range sharding requires the native sharder")
-        return native
-
-    data = _read_bytes(filename)
-    native = fastq_matrix_native(data, pad_to=pad_to)
-    if native is not None:
-        return native
+        if native is not None:
+            return native
+        # Pure-Python fallback: same sync decisions as the native sharder
+        # (fastq_sync is its byte-for-byte twin), then the vectorized
+        # numpy parse on the synced slice.
+        s_lo = fastq_sync(data, lo - base)
+        s_hi = fastq_sync(data, hi - base)
+        data = data[s_lo:s_hi]
+    else:
+        data = _read_bytes(filename)
+        native = fastq_matrix_native(data, pad_to=pad_to)
+        if native is not None:
+            return native
     buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros((0, pad_to), dtype=np.uint8), np.zeros(0, dtype=np.int32)

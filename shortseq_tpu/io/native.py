@@ -48,6 +48,8 @@ def get_lib():
         if _tried:
             return _lib
         _tried = True
+        if os.environ.get("SHORTSEQ_TPU_FORCE_PYTHON", "") == "1":
+            return None  # same opt-out as the object layer (native_build)
         so_path = _build()
         if so_path is None:
             return None

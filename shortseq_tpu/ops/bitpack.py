@@ -158,12 +158,37 @@ def _invalid_mask_u32(x_u32: jax.Array, lengths: jax.Array):
 
 def validate_u32(x_u32: jax.Array, lengths: jax.Array) -> jax.Array:
     """Per-row validity mask: True iff every byte before the row's length
-    passes the reference bloom filter."""
+    passes the reference bloom filter.
+
+    SWAR formulation: all 4 bytes of a lane are tested at once with exact
+    per-byte zero tests against the 4 pass values - no per-byte variable
+    shifts, so XLA fuses this into the same input read as the pack
+    (measured ~800 G nt/s standalone on v5e vs ~460 for the shift
+    formulation; benchmarks/pack_variants.py)."""
+    m = x_u32 & jnp.uint32(0x3F3F3F3F)            # (c & 63) per byte
+
+    def eqz(y):
+        # Exact per-byte zero test: bit 7 of each byte set iff the byte is
+        # zero.  (y & 0x7F) + 0x7F sets bit 7 iff the low 7 bits are
+        # nonzero; | y catches bit 7 itself; no cross-byte carries.
+        return ~(((y & jnp.uint32(0x7F7F7F7F)) + jnp.uint32(0x7F7F7F7F))
+                 | y) & jnp.uint32(0x80808080)
+
+    ok_b = (eqz(m ^ jnp.uint32(0x01010101))        # 'A' & 63
+            | eqz(m ^ jnp.uint32(0x03030303))      # 'C' & 63
+            | eqz(m ^ jnp.uint32(0x07070707))      # 'G' & 63
+            | eqz(m ^ jnp.uint32(0x14141414)))     # 'T' & 63
     n, w4 = x_u32.shape
-    any_bad = jnp.zeros((n,), jnp.bool_)
-    for _, bad in _invalid_mask_u32(x_u32, lengths):
-        any_bad = any_bad | jnp.any(bad, axis=1)
-    return ~any_bad
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, w4), 1)
+    rem = jnp.clip(lengths[:, None] - 4 * lane, 0, 4)  # bytes in range
+    mask = jnp.where(
+        rem >= 4, jnp.uint32(0x80808080),
+        jnp.where(rem == 3, jnp.uint32(0x00808080),
+                  jnp.where(rem == 2, jnp.uint32(0x00008080),
+                            jnp.where(rem == 1, jnp.uint32(0x00000080),
+                                      jnp.uint32(0)))))
+    bad = (~ok_b) & mask
+    return ~jnp.any(bad != 0, axis=1)
 
 
 def first_bad_byte_u32(x_u32: jax.Array, lengths: jax.Array) -> jax.Array:
