@@ -41,10 +41,15 @@ def _make_batch(n, width, seed=0):
     return np.ascontiguousarray(ascii_mat.astype(np.uint8)), lengths
 
 
-def slope_time(loop, args, rounds=5):
-    """Per-iteration seconds: slope between K_LO- and K_HI-iteration
-    dispatches of `loop(*args, k)`, min-per-K over interleaved rounds."""
-    k_lo, k_hi = jnp.int32(K_LO), jnp.int32(K_HI)
+def slope_time(loop, args, rounds=5, k_lo=K_LO, k_hi=K_HI):
+    """Per-iteration seconds: slope between k_lo- and k_hi-iteration
+    dispatches of `loop(*args, k)`, min-per-K over interleaved rounds.
+
+    k_hi must be large enough that the k_hi - k_lo work delta is >= ~5 ms,
+    else the slope drowns in per-dispatch jitter (observed: a 6 MB/pass
+    hamming bench at k_hi=40 "measured" 2.9x the HBM roofline)."""
+    k_span = k_hi - k_lo
+    k_lo, k_hi = jnp.int32(k_lo), jnp.int32(k_hi)
     jax.block_until_ready(loop(*args, k_hi))  # compile + warm
     t_lo = t_hi = float("inf")
     for _ in range(rounds):
@@ -55,7 +60,7 @@ def slope_time(loop, args, rounds=5):
         t2 = time.perf_counter()
         t_lo = min(t_lo, t1 - t0)
         t_hi = min(t_hi, t2 - t1)
-    return (t_hi - t_lo) / (K_HI - K_LO)
+    return (t_hi - t_lo) / k_span
 
 
 def bench_pack(n=1 << 18, width=160, k0=8):
@@ -73,8 +78,10 @@ def bench_pack(n=1 << 18, width=160, k0=8):
         def body(i, acc):
             x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * n, n, 0)
             w, ok = pack_and_validate_u32(x, lengths)
-            return (acc + jnp.sum(w, dtype=jnp.uint32)
-                    + jnp.sum(ok).astype(jnp.uint32))
+            # XOR fold blocks reduce(dot) -> dot(reduce) rewrites (see
+            # bench_pack_only).
+            return (acc ^ jnp.bitwise_xor.reduce(w.ravel())
+                    ^ jnp.sum(ok).astype(jnp.uint32))
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
     dt = slope_time(loop, (big, lengths))
@@ -92,7 +99,11 @@ def bench_pack_only(n=1 << 18, width=160, k0=8):
     def loop(x_all, k):
         def body(i, acc):
             x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * n, n, 0)
-            return acc + jnp.sum(pack_words_u32(x), dtype=jnp.uint32)
+            w = pack_words_u32(x)
+            # XOR fold, not a plain sum: XLA's algebraic simplifier can
+            # rewrite reduce(dot(...)) into dot(reduce(...)) and skip the
+            # pack entirely (observed: "2.4 T nt/s", 2.5x the HBM roofline).
+            return acc ^ jnp.bitwise_xor.reduce(w.ravel())
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
     dt = slope_time(loop, (big,))
@@ -133,7 +144,9 @@ def bench_hamming(n=1 << 18, lanes=6, k0=8):
             return acc + jnp.sum(hamming_rows(x, y))
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    dt = slope_time(loop, (a, b))
+    # ~6 MB/pass: needs many more iterations than the default for a
+    # measurable slope.
+    dt = slope_time(loop, (a, b), k_hi=512)
     return n / dt
 
 
@@ -163,7 +176,7 @@ def bench_pairwise(n=4096, lanes=2, k0=8):
             return acc + jnp.sum(pallas_kernels.hamming_pairwise_tiled(x, b_one))
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    dt = slope_time(loop, (a, b))
+    dt = slope_time(loop, (a, b), k_hi=128)
     return n * n / dt
 
 

@@ -60,7 +60,8 @@ def _bucket_hash(words, lengths, n_buckets):
         % jnp.uint32(n_buckets)
 
 
-def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0):
+def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0,
+                           replicate: bool = True):
     """Scalable sharded counter: instead of replicating every shard's table
     on every device (all_gather + re-sort of N*D rows per device,
     count_sharded above), keys are exchanged by hash bucket with
@@ -73,16 +74,27 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0):
     back to count_sharded, which is always exact).
 
     Returns a jitted fn: (words [N, W], lengths [N], weights [N]) ->
-    (u_words, u_lengths, u_counts, n_unique, overflowed) where the table
-    rows live sharded over the mesh (gather them per bucket or reduce
-    further); here they are all_gathered once at the end for a replicated
-    result, which is cheap because the tables are already deduplicated
-    AND disjoint (no re-sort needed - plain concatenation).
+    (u_words, u_lengths, u_counts, n_unique, overflowed).
+
+    With replicate=True the deduplicated disjoint tables are all_gathered
+    once at the end for a replicated result (cheap: no re-sort, plain
+    concatenation - but traffic grows with total uniques).  With
+    replicate=False the table stays SHARDED over the mesh (device d holds
+    bucket d's uniques; rows are PAD-interleaved, materialize with
+    counts_to_host_scattered) - per-device time and memory are then flat
+    in device count, which is the production configuration for large
+    meshes (n_unique and the overflow flag are still replicated scalars).
     """
     n_dev = mesh.devices.size
 
     def body(words, lengths, weights):
         n, w = words.shape
+        # NOTE: deduplicating locally before the exchange looks like it
+        # should shrink traffic, but with static shapes it cannot - the
+        # all_to_all buffers and the post-exchange sort are sized by the
+        # static capacity either way, so a pre-dedup only adds a sort
+        # (measured: -35% at D=1 on the CPU mesh).  Raw rows go straight
+        # to their buckets.
         # Mean load is n/D; the factor covers hash skew at scale and the
         # +16 constant covers small-shard balls-in-bins variance (expected
         # max load of m balls in D bins is m/D + O(sqrt(m/D log D))).
@@ -136,19 +148,24 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0):
         # Local dedup of this device's disjoint key range.
         u_w, u_l, u_c, n_u = unique_count(r_words, r_lengths, r_weights)
 
+        total = jax.lax.psum(n_u, "data")
+        any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
+        if not replicate:
+            # Keep the table sharded: device d's slab holds bucket d's
+            # uniques.  No collective traffic proportional to the table.
+            return u_w, u_l, u_c, total, any_overflow
         # Replicate the (already-disjoint, deduplicated) tables.
         g_w = jax.lax.all_gather(u_w, "data", tiled=True)
         g_l = jax.lax.all_gather(u_l, "data", tiled=True)
         g_c = jax.lax.all_gather(u_c, "data", tiled=True)
-        total = jax.lax.psum(n_u, "data")
-        any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
         return g_w, g_l, g_c, total, any_overflow
 
+    table_spec = P() if replicate else P("data")
     mapped = shard_map(
         body,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(table_spec, table_spec, table_spec, P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped)

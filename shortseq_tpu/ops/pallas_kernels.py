@@ -50,9 +50,9 @@ LAST_PAIRWISE_PATH: str | None = None
 _warned_fallback = False
 
 
-def _pairwise_kernel(w: int):
+def _pairwise_kernel(w: int, tile: int):
     def kernel(a_ref, b_ref, out_ref):
-        acc = jnp.zeros((_TILE, _TILE), jnp.int32)
+        acc = jnp.zeros((tile, tile), jnp.int32)
         for lane in range(w):
             c = a_ref[:, lane][:, None] ^ b_ref[:, lane][None, :]
             c = ((c >> 1) | c) & jnp.uint32(0x55555555)
@@ -62,27 +62,36 @@ def _pairwise_kernel(w: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _pairwise_tiled(a: jax.Array, b: jax.Array) -> jax.Array:
+def _tile_for(w: int) -> int:
+    """Tile size by lane width.  The [T, T] output tile costs 4*T^2 bytes
+    of HBM traffic regardless of T; the operand re-read term is
+    4*w*(N*M/T)*2, which for wide rows (ShortSeqVar, w=64) matches the
+    output traffic at T=128 - doubling T halves it.  VMEM at T=256, w=64:
+    2 operand tiles of 64 KiB + a 256 KiB accumulator, well under budget."""
+    return 256 if w >= 16 else 128
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _pairwise_tiled(a: jax.Array, b: jax.Array, tile: int) -> jax.Array:
     n, w = a.shape
     m, _ = b.shape
-    grid = (n // _TILE, m // _TILE)
+    grid = (n // tile, m // tile)
     return pl.pallas_call(
-        _pairwise_kernel(w),
+        _pairwise_kernel(w, tile),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, w), lambda i, j: (i, 0),
+            pl.BlockSpec((tile, w), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, w), lambda i, j: (j, 0),
+            pl.BlockSpec((tile, w), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * m * w, transcendentals=0,
-            bytes_accessed=4 * (n * w * (m // _TILE)
-                                + m * w * (n // _TILE) + n * m)),
+            bytes_accessed=4 * (n * w * (m // tile)
+                                + m * w * (n // tile) + n * m)),
     )(a, b)
 
 
@@ -94,11 +103,15 @@ def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
     return x
 
 
-def hamming_pairwise_tiled(a: jax.Array, b: jax.Array) -> jax.Array:
+def hamming_pairwise_tiled(a: jax.Array, b: jax.Array,
+                           tile: int | None = None) -> jax.Array:
     """All-pairs hamming `[N, W] x [M, W] -> [N, M]` via the tiled Pallas
-    kernel; inputs are row-padded to the 128 tile internally."""
+    kernel; inputs are row-padded to the tile internally (tile picked per
+    lane width unless given)."""
     n, m = a.shape[0], b.shape[0]
-    out = _pairwise_tiled(_pad_rows(a, _TILE), _pad_rows(b, _TILE))
+    if tile is None:
+        tile = _tile_for(a.shape[1])
+    out = _pairwise_tiled(_pad_rows(a, tile), _pad_rows(b, tile), tile)
     return out[:n, :m]
 
 

@@ -58,6 +58,16 @@ assert int(overflow) == 0
 bucketed = dict(counts_to_host_scattered(u_w, u_l, u_c))
 assert bucketed == local, (len(bucketed), len(local))
 assert int(n_u) == len(local)
+
+# Sharded-output (production, replicate=False) variant: device d keeps
+# bucket d's uniques; host materialization must see the identical table.
+step_s = count_sharded_bucketed(data_mesh(), replicate=False)
+s_w, s_l, s_c, s_n, s_ov = step_s(words, jnp.asarray(lengths), ones)
+assert int(s_ov) == 0
+assert s_w.shape[0] == u_w.shape[0] // 1  # same global row count as replicated gather
+sharded_tbl = dict(counts_to_host_scattered(s_w, s_l, s_c))
+assert sharded_tbl == local, (len(sharded_tbl), len(local))
+assert int(s_n) == len(local)
 print("MULTICHIP-OK", len(sharded))
 """
 

@@ -30,6 +30,24 @@ class TestPairwiseTiled:
         want = np.asarray(hamming_pairwise(a, b))
         assert (got == want).all()
 
+    @pytest.mark.skipif(not on_tpu, reason="Mosaic kernel needs TPU")
+    @pytest.mark.parametrize("tile", [128, 256])
+    def test_explicit_tiles_agree(self, tile):
+        from shortseq_tpu.ops import hamming_pairwise, hamming_pairwise_tiled
+
+        a, b = _rand_words(300, 6, 3), _rand_words(500, 6, 4)
+        got = np.asarray(hamming_pairwise_tiled(a, b, tile=tile))
+        want = np.asarray(hamming_pairwise(a, b))
+        assert (got == want).all()
+
+    def test_auto_records_path(self):
+        from shortseq_tpu.ops import pallas_kernels
+
+        a = _rand_words(16, 2, 9)
+        np.asarray(pallas_kernels.pairwise_hamming_auto(a, a))
+        expect = "pallas" if on_tpu else "jnp"
+        assert pallas_kernels.LAST_PAIRWISE_PATH == expect
+
     def test_auto_matches_oracle(self, rng):
         from tests.conftest import rand_sequence
 
