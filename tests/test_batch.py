@@ -83,6 +83,28 @@ class TestPackedBatch:
         b = pack_batch(["ACGTACGT", "ACG"]).trim(2, 4)
         assert b.decode() == ["GTAC", "G"]
 
+    def test_trim_funnel_shift_fuzz(self, rng):
+        # The packed-lane funnel shift vs the string oracle across lane
+        # boundaries, ragged rows, and out-of-range starts.
+        from shortseq_tpu.batch import pack_batch
+
+        seqs = [rand_sequence(rng, rng.randint(0, 200)) for _ in range(48)]
+        b = pack_batch(seqs)
+        cases = [(0, 10), (3, 17), (16, 16), (5, 200), (33, 7),
+                 (100, 50), (199, 10), (250, 5), (15, 1), (31, 33)]
+        for start, length in cases:
+            got = b.trim(start, length).decode()
+            assert got == [s[start:start + length] for s in seqs], \
+                (start, length)
+
+    def test_trim_rejects_negative(self):
+        from shortseq_tpu.batch import pack_batch
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            pack_batch(["ACGT"]).trim(-1, 2)
+
     def test_counts(self, rng):
         from shortseq_tpu.batch import pack_batch
 
