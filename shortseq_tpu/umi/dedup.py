@@ -73,31 +73,89 @@ def umi_adjacency(words, lengths, threshold: int = 1) -> np.ndarray:
     return (dist <= threshold) & same_len
 
 
+# Per-row neighbour cap for the device-side top-k reduction.  UMI graphs
+# are sparse (neighbours = sequencing-error variants); rows exceeding the
+# cap fall back to a dense fetch of that row only.
+_NEIGHBOR_K = 128
+
+
+def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
+                           row0, threshold: int, k: int):
+    """One [B, U] adjacency block reduced ON DEVICE to per-row neighbour
+    indices: (idx [B, k] ascending, cnt [B] true neighbour count).  Only
+    B*k indices + B counts cross the device->host boundary instead of the
+    dense B*U distance slab - at U = 100k uniques that is the difference
+    between ~40 GB and ~50 MB of fetch traffic for the whole matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pairwise_hamming_auto
+
+    u = words.shape[0]
+    dist = pairwise_hamming_auto(a_words, words)          # [B, U]
+    adj = (dist <= threshold) & (a_lengths[:, None] == lengths[None, :])
+    adj = adj & (a_gids[:, None] == gids[None, :])
+    # Exclude self (global row index = row0 + local row).
+    b = a_words.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, u), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, u), 0) + row0
+    adj = adj & (cols != rows)
+    cnt = jnp.sum(adj, axis=1).astype(jnp.int32)
+    # Score = U - j for neighbours, 0 otherwise: top_k then yields
+    # neighbour columns in ascending order, zeros marking empty slots.
+    score = jnp.where(adj, u - cols, 0)
+    vals, idx = jax.lax.top_k(score, k)
+    return idx, vals > 0, cnt
+
+
 def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
     """Sparse adjacency: neighbours[i] = indices j != i with
     hamming(i, j) <= threshold, equal lengths, and (optionally) equal
-    group ids.  The [block, U] distance slab is computed on device one row
-    block at a time (block sized to _PAIR_BUDGET), then reduced to index
-    lists - memory is O(U + edges), not O(U^2)."""
-    from ..ops import pairwise_hamming_auto
+    group ids.  Each [block, U] distance slab is computed AND reduced on
+    device (top-k indices per row, _neighbor_block_device); host memory
+    and transfer are O(U * k + edges), never O(U^2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import hamming_pairwise
 
     u = len(lengths)
     lengths = np.asarray(lengths)
     if block is None:
         block = max(256, min(u, _PAIR_BUDGET // max(u, 1)))
+    k = min(_NEIGHBOR_K, u)
+    words_d = jnp.asarray(words)
+    lengths_d = jnp.asarray(lengths.astype(np.int32))
+    gids_np = (np.asarray(gids).astype(np.int32) if gids is not None
+               else np.zeros(u, np.int32))
+    gids_d = jnp.asarray(gids_np)
+    step = jax.jit(_neighbor_block_device,
+                   static_argnames=("threshold", "k"))
+
     neighbors = [None] * u
     for lo in range(0, u, block):
         hi = min(u, lo + block)
-        dist = np.asarray(pairwise_hamming_auto(words[lo:hi], words))
-        adj = (dist <= threshold) & (lengths[lo:hi, None] == lengths[None, :])
-        if gids is not None:
-            adj &= gids[lo:hi, None] == gids[None, :]
-        rows, cols = np.nonzero(adj)
-        # Split the edge list by row in one pass.
-        counts_per_row = np.bincount(rows, minlength=hi - lo)
-        splits = np.split(cols, np.cumsum(counts_per_row)[:-1])
-        for r, nbr in enumerate(splits):
-            neighbors[lo + r] = nbr[nbr != lo + r]
+        idx, valid, cnt = step(
+            words_d[lo:hi], lengths_d[lo:hi], gids_d[lo:hi],
+            words_d, lengths_d, gids_d, jnp.int32(lo),
+            threshold=threshold, k=k)
+        idx, valid, cnt = jax.device_get((idx, valid, cnt))
+        idx = np.asarray(idx)
+        valid = np.asarray(valid)
+        cnt = np.asarray(cnt)
+        for r in range(hi - lo):
+            if cnt[r] <= k:
+                # top_k of (u - col) yields columns in ascending order.
+                neighbors[lo + r] = idx[r][valid[r]].copy()
+            else:
+                # Rare dense row (> k neighbours): fetch just this row.
+                row = np.asarray(hamming_pairwise(
+                    words_d[lo + r:lo + r + 1], words_d))[0]
+                ok = (row <= threshold) & (lengths == lengths[lo + r])
+                if gids is not None:
+                    ok &= gids_np == gids_np[lo + r]
+                nbr = np.flatnonzero(ok)
+                neighbors[lo + r] = nbr[nbr != lo + r]
     return neighbors
 
 

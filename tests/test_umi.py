@@ -195,6 +195,23 @@ class TestDedupReadsRegressions:
         with pytest.raises(ValueError, match="longer than 32"):
             dedup_reads(["A" * 40] * 2, len_5p=33)
 
+    def test_topk_overflow_rows_fall_back_dense(self, monkeypatch):
+        # A clique larger than the per-row neighbour cap must fall back to
+        # the dense single-row fetch and still return every neighbour.
+        import shortseq_tpu.umi.dedup as dd
+
+        umis = [b"AAAA", b"AAAT", b"AAAC", b"AAAG", b"ATAA", b"ACAA"]
+        words, lengths = dd._pack_validate_umis(umis)
+        import numpy as np
+
+        full = dd._neighbor_lists(np.asarray(words), lengths, threshold=2)
+        monkeypatch.setattr(dd, "_NEIGHBOR_K", 2)
+        capped = dd._neighbor_lists(np.asarray(words), lengths, threshold=2)
+        for a, b in zip(full, capped):
+            assert sorted(a) == sorted(b)
+        # Sanity: the clique really overflows the cap of 2.
+        assert max(len(x) for x in full) > 2
+
     def test_blocked_adjacency_matches_single_block(self, rng):
         # The memory-bounded row-blocked sparse-adjacency path must agree
         # with the single-block (dense) computation on the same data.
