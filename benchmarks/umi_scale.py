@@ -31,26 +31,12 @@ def _rand_umis(u, length, seed=0):
     return [mat[i].tobytes() for i in range(u)]
 
 
-def _slope(fn, k_lo=2, k_hi=8, rounds=3):
-    import jax
-
-    jax.block_until_ready(fn())
-    t_lo = t_hi = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(k_lo):
-            jax.block_until_ready(fn())
-        t1 = time.perf_counter()
-        for _ in range(k_hi):
-            jax.block_until_ready(fn())
-        t2 = time.perf_counter()
-        t_lo = min(t_lo, t1 - t0)
-        t_hi = min(t_hi, t2 - t1)
-    return (t_hi - t_lo) / (k_hi - k_lo)
-
-
 def pairwise_width_sweep():
-    """Kernel pairs/s at the three width classes (2/6/64 lanes)."""
+    """Kernel pairs/s at the three width classes (2/6/64 lanes).
+
+    Slope-timed with the iterations INSIDE one compiled fori_loop (the
+    bench.py methodology) - timing separate dispatches measures the
+    ~25 ms tunnel dispatch cost, not the kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -61,10 +47,33 @@ def pairwise_width_sweep():
 
     rng = np.random.default_rng(1)
     out = {}
+    k_lo, k_hi, k0 = 8, 64, 4
     for w, n in ((2, 8192), (6, 8192), (64, 4096)):
-        a = jnp.asarray(rng.integers(0, 2**32, size=(n, w), dtype=np.uint64)
-                        .astype(np.uint32))
-        dt = _slope(lambda a=a: hamming_pairwise_tiled(a, a))
+        a = jnp.asarray(
+            rng.integers(0, 2**32, size=(k0 * n, w), dtype=np.uint64)
+            .astype(np.uint32))
+        b = a[:n]
+
+        @jax.jit
+        def loop(a_all, b, k, n=n):
+            def body(i, acc):
+                # Slice per iteration so the kernel is loop-variant and
+                # cannot be hoisted out of the fori_loop.
+                x = jax.lax.dynamic_slice_in_dim(a_all, (i % k0) * n, n, 0)
+                return acc + jnp.sum(hamming_pairwise_tiled(x, b))
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        jax.block_until_ready(loop(a, b, jnp.int32(k_hi)))
+        t_lo = t_hi = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(a, b, jnp.int32(k_lo)))
+            t1 = time.perf_counter()
+            jax.block_until_ready(loop(a, b, jnp.int32(k_hi)))
+            t2 = time.perf_counter()
+            t_lo = min(t_lo, t1 - t0)
+            t_hi = min(t_hi, t2 - t1)
+        dt = (t_hi - t_lo) / (k_hi - k_lo)
         out[f"pairwise_w{w}_pairs_per_s"] = n * n / dt
     return out
 

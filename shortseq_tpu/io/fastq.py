@@ -138,11 +138,19 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
         return np.zeros((0, pad_to), dtype=np.uint8), lengths
     max_len = int(lengths.max())
     width = max(pad_to, -(-max_len // pad_to) * pad_to)
-    # Row-wise copies: transient memory stays O(matrix), not the ~10x of a
-    # full [N, width] int64 offsets matrix + mask + clamped gather.
-    mat = np.zeros((n, width), dtype=np.uint8)
-    for i in range(n):
-        mat[i, :lengths[i]] = buf[starts[i]:ends[i]]
+    # Vectorized gather in row chunks: each chunk builds an [C, width]
+    # offset matrix + mask (bounded transient memory, ~9x the chunk's
+    # bytes), so the no-native path runs at numpy take speed instead of a
+    # per-row Python loop.
+    mat = np.empty((n, width), dtype=np.uint8)
+    chunk = max(1, (8 << 20) // max(width, 1))   # ~8 MB of rows per chunk
+    col = np.arange(width, dtype=np.int64)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        idx = starts[lo:hi, None] + col[None, :]
+        keep = col[None, :] < lengths[lo:hi, None]
+        np.take(buf, np.minimum(idx, buf.size - 1), out=mat[lo:hi])
+        mat[lo:hi] *= keep
     return mat, lengths
 
 
