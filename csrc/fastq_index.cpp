@@ -171,4 +171,102 @@ int64_t ssq_pack_rows(const uint8_t* mat, const int32_t* lengths,
   return bad.load();
 }
 
+// 4 ASCII bytes (u32, LSB = first byte) -> their 4 2-bit codes in the low
+// byte.  code = (c >> 1) & 3 per byte; shifts {0,6,12,18} funnel code k
+// from bit 8k to bit 2k, and no wrong (k, shift) pair lands below bit 8
+// (the same SWAR identity as ops/bitpack._codes_byte).
+static inline uint32_t pack4_codes(uint32_t v) {
+  uint32_t c = (v >> 1) & 0x03030303u;
+  return (c | (c >> 6) | (c >> 12) | (c >> 18)) & 0xFFu;
+}
+
+// 8 ASCII bytes (u64, LSB = first byte) -> their 8 2-bit codes in the low
+// 16 bits.  Two independent 4-byte funnels: an 8-wide OR-doubling funnel
+// would alias (code 3 >> 12 lands in code 6's slot), so it is not used.
+static inline uint32_t pack8_codes(uint64_t v) {
+  return pack4_codes((uint32_t)v) | (pack4_codes((uint32_t)(v >> 32)) << 8);
+}
+
+// Per-byte bloom test on 8 bytes at once: byte passes iff (c & 63) is one
+// of {1, 3, 7, 20} (the reference bloom's exact pass set, util.pxd:88-127 -
+// bits 6/7 never index the 64-bit bloom constant).  Returns nonzero iff any
+// of the low `nbytes` bytes fails.
+static inline uint64_t bad8_mask(uint64_t v, int nbytes) {
+  const uint64_t kOnes = 0x0101010101010101ull;
+  const uint64_t kHigh = 0x8080808080808080ull;
+  uint64_t m = v & 0x3F3F3F3F3F3F3F3Full;
+  uint64_t ok = 0;
+  for (uint64_t t : {0x01ull, 0x03ull, 0x07ull, 0x14ull}) {
+    uint64_t d = m ^ (t * kOnes);
+    // Byte == t iff d's byte is 0.  d <= 0x7F per byte, so d + 0x7F*ones
+    // never carries between bytes (max per-byte sum 0xFE) and bit 7 of the
+    // sum is set iff the byte was nonzero - an exact, borrow-free zero
+    // detect.  (The classic (d-ones)&~d&high trick is NOT used: its borrow
+    // chain falsely flags a byte whose d==1 right after a d==0 byte, which
+    // would silently accept e.g. '@' after 'A'.)
+    ok |= ~(d + 0x7F7F7F7F7F7F7F7Full) & kHigh;
+  }
+  (void)kOnes;
+  uint64_t inrange = nbytes >= 8 ? kHigh : (kHigh >> (8 * (8 - nbytes)));
+  return ~ok & inrange;
+}
+
+// Gather indexed sequence lines and 2-bit pack them in one pass: row i
+// (buf + starts[i], lengths[i] bytes, truncated to `width`) packs into
+// words[i * width/16 ...], LSB-first per the reference layout
+// (util.pyx:100-140), zero-padded past the row's length.  width % 16 == 0.
+// Validation is the reference's exact bloom semantics.  Multi-threaded over
+// rows.  Returns 0, or 1 + index of a row containing an invalid byte.
+int64_t ssq_gather_pack(const char* buf, const int64_t* starts,
+                        const int32_t* lengths, int64_t n_reads,
+                        int64_t width, uint32_t* words) {
+  std::atomic<int64_t> bad{0};
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = n_reads > 4096 ? (hw ? (int)hw : 4) : 1;
+  int64_t chunk = (n_reads + nthreads - 1) / nthreads;
+  int64_t wpr = width / 16;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) {
+    threads.emplace_back([=, &bad] {
+      int64_t lo = t * chunk, hi = std::min(n_reads, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* row = (const uint8_t*)(buf + starts[i]);
+        uint32_t* w = words + i * wpr;
+        int64_t len = lengths[i] < width ? lengths[i] : width;
+        uint64_t any_bad = 0;
+        int64_t j = 0;
+        for (; j + 16 <= len; j += 16) {
+          uint64_t a, b;
+          memcpy(&a, row + j, 8);
+          memcpy(&b, row + j + 8, 8);
+          any_bad |= bad8_mask(a, 8) | bad8_mask(b, 8);
+          w[j >> 4] = pack8_codes(a) | (pack8_codes(b) << 16);
+        }
+        if (j < len) {
+          uint8_t tail[16] = {0};
+          memcpy(tail, row + j, (size_t)(len - j));
+          uint64_t a, b;
+          memcpy(&a, tail, 8);
+          memcpy(&b, tail + 8, 8);
+          int rem = (int)(len - j);
+          any_bad |= bad8_mask(a, rem < 8 ? rem : 8);
+          if (rem > 8) any_bad |= bad8_mask(b, rem - 8);
+          uint32_t word = pack8_codes(a) | (pack8_codes(b) << 16);
+          // Zero-pad bytes encode to code 0 = the zeroed tail already.
+          w[j >> 4] = word;
+          j += 16;
+        }
+        for (int64_t k = j >> 4; k < wpr; ++k) w[k] = 0;
+        if (any_bad) {
+          int64_t want = 0;
+          bad.compare_exchange_strong(want, i + 1);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return bad.load();
+}
+
 }  // extern "C"

@@ -154,6 +154,78 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
     return mat, lengths
 
 
+def read_fastq_index(filename, byte_range=None):
+    """Index a FASTQ file without gathering: (buffer bytes, starts int64,
+    lengths int32) of every sequence line, ready for gather_pack.  Uses the
+    native indexer when built; numpy fallback otherwise.  byte_range
+    restricts to records starting inside [lo, hi) (multi-host sharding),
+    reading only that slice (+ sync margin) from disk."""
+    from .native import fastq_index_native
+
+    if byte_range is not None:
+        lo, hi = byte_range
+        data, base = _read_range_synced(filename, lo, hi)
+        rng = (lo - base, hi - base)
+    else:
+        data, rng = _read_bytes(filename), None
+    native = fastq_index_native(data, rng)
+    if native is not None:
+        return native
+    if rng is not None:
+        s_lo = fastq_sync(data, rng[0])
+        s_hi = fastq_sync(data, rng[1])
+        data = data[s_lo:s_hi]
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return data, np.zeros(0, np.int64), np.zeros(0, np.int32)
+    starts, ends = fastq_line_index(buf)
+    return data, starts.astype(np.int64), (ends - starts).astype(np.int32)
+
+
+def gather_pack(data: bytes, starts, lengths, width: int):
+    """Gather + 2-bit pack indexed rows from the file buffer into
+    [N, width//16] uint32 packed lanes (reference bit layout, util.pyx:
+    100-140), validating every byte with the reference's exact bloom
+    semantics.  Rows longer than `width` are truncated (callers bucket by
+    width first).  Native single pass when built; vectorized numpy twin
+    otherwise - bit-identical outputs (tests/test_native_io.py)."""
+    from .native import gather_pack_native
+
+    native = gather_pack_native(data, starts, lengths, width)
+    if native is not None:
+        return native
+    from ..constants import UNSUPPORTED_BASE_MSG
+    from ..oracle import first_invalid_char
+
+    assert width % 16 == 0
+    buf = np.frombuffer(data, dtype=np.uint8)
+    starts = np.asarray(starts, dtype=np.int64)
+    n = len(starts)
+    words = np.empty((n, width // 16), dtype=np.uint32)
+    col = np.arange(width, dtype=np.int64)
+    shift = (2 * (np.arange(width, dtype=np.uint32) % 16))
+    chunk = max(1, (8 << 20) // max(width, 1))   # ~8 MB of rows per chunk
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        lens = np.minimum(lengths[lo:hi], width)
+        idx = starts[lo:hi, None] + col[None, :]
+        keep = col[None, :] < lens[:, None]
+        sub = buf[np.minimum(idx, buf.size - 1)] * keep
+        v = sub & 63
+        # Bloom pass set {1, 3, 7, 20} of (c & 63) - reference
+        # util.pxd:88-127; zeroed out-of-range bytes are vacuously ok.
+        ok = (v == 1) | (v == 3) | (v == 7) | (v == 20) | ~keep
+        if not ok.all():
+            r = int(np.argmin(ok.all(axis=1)))
+            row = bytes(buf[starts[lo + r]:starts[lo + r] + int(lens[r])])
+            raise Exception(
+                f"{UNSUPPORTED_BASE_MSG}: {first_invalid_char(row)}")
+        codes = ((sub.astype(np.uint32) >> 1) & 3) << shift
+        words[lo:hi] = np.bitwise_or.reduce(
+            codes.reshape(hi - lo, width // 16, 16), axis=2)
+    return words
+
+
 def read_fastq_lines(filename):
     """Sequence lines as a list of bytes (newline stripped)."""
     data = _read_bytes(filename)

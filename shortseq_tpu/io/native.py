@@ -72,6 +72,8 @@ def get_lib():
         lib.ssq_fastq_sync.argtypes = [c_char_p, i64, i64]
         lib.ssq_pack_rows.restype = i64
         lib.ssq_pack_rows.argtypes = [p_u8, p_i32, i64, i64, p_u32]
+        lib.ssq_gather_pack.restype = i64
+        lib.ssq_gather_pack.argtypes = [c_char_p, p_i64, p_i32, i64, i64, p_u32]
         _lib = lib
         return _lib
 
@@ -80,10 +82,11 @@ def _as_ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def fastq_matrix_native(data: bytes, pad_to: int = 16,
-                        byte_range: tuple[int, int] | None = None):
-    """Parse a FASTQ byte buffer into (padded uint8 matrix, lengths) using
-    the native sharder.  Returns None when the native library is missing.
+def fastq_index_native(data: bytes,
+                       byte_range: tuple[int, int] | None = None):
+    """Index a FASTQ byte buffer: (synced data, starts int64, lengths int32)
+    of every sequence line, without gathering any bytes.  Returns None when
+    the native library is missing.
 
     byte_range (lo, hi) restricts parsing to the records whose boundaries
     ssq_fastq_sync finds inside [lo, hi) - the multi-host sharding hook.
@@ -98,8 +101,7 @@ def fastq_matrix_native(data: bytes, pad_to: int = 16,
         data = data[lo:hi]
         n = len(data)
     if n == 0:
-        return (np.zeros((0, pad_to), dtype=np.uint8),
-                np.zeros(0, dtype=np.int32))
+        return data, np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
     # Capacity: one record per 4 lines; over-allocate then trim.
     cap = lib.ssq_count_lines(data, n) // 4 + 2
     starts = np.empty(cap, dtype=np.int64)
@@ -108,7 +110,50 @@ def fastq_matrix_native(data: bytes, pad_to: int = 16,
         data, n, _as_ptr(starts, ctypes.c_int64),
         _as_ptr(lengths, ctypes.c_int32), cap)
     assert n_reads >= 0, "capacity underestimate"
-    starts, lengths = starts[:n_reads], lengths[:n_reads]
+    return data, starts[:n_reads], lengths[:n_reads]
+
+
+def gather_pack_native(data: bytes, starts: np.ndarray, lengths: np.ndarray,
+                       width: int):
+    """Gather + 2-bit pack indexed rows straight from the file buffer:
+    [N] (starts, lengths) -> [N, width//16] uint32 in the reference bit
+    layout, zero-padded past each length (rows longer than width are
+    truncated - callers bucket by width first).  Returns None when the
+    native library is missing; raises the reference's invalid-base message
+    (short_seq_64.pyx:105) with the offending character."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert width % 16 == 0
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    words = np.empty((n, width // 16), dtype=np.uint32)
+    bad = lib.ssq_gather_pack(
+        data, _as_ptr(starts, ctypes.c_int64),
+        _as_ptr(lengths, ctypes.c_int32), n, width,
+        _as_ptr(words, ctypes.c_uint32))
+    if bad:
+        from ..constants import UNSUPPORTED_BASE_MSG
+        from ..oracle import first_invalid_char
+
+        i = bad - 1
+        row = data[starts[i]:starts[i] + min(int(lengths[i]), width)]
+        raise Exception(f"{UNSUPPORTED_BASE_MSG}: {first_invalid_char(row)}")
+    return words
+
+
+def fastq_matrix_native(data: bytes, pad_to: int = 16,
+                        byte_range: tuple[int, int] | None = None):
+    """Parse a FASTQ byte buffer into (padded uint8 matrix, lengths) using
+    the native sharder.  Returns None when the native library is missing.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    indexed = fastq_index_native(data, byte_range)
+    data, starts, lengths = indexed
+    n_reads = len(starts)
     if n_reads == 0:
         return np.zeros((0, pad_to), dtype=np.uint8), lengths
     max_len = lib.ssq_max_length(_as_ptr(lengths, ctypes.c_int32), n_reads)
