@@ -269,4 +269,151 @@ int64_t ssq_gather_pack(const char* buf, const int64_t* starts,
   return bad.load();
 }
 
+// ---------------------------------------------------------------------------
+// Host count engine: exact dedup of packed rows with a partitioned
+// open-addressing hash table.  The single-host analogue of the device
+// sort-unique-count (count/device.py) for runs where host<->device
+// transfer dominates; same table contents, different engine.  The role of
+// the reference's known-hash dict counting (counter.pyx:41-54), but
+// batched and multi-threaded instead of object-at-a-time.
+
+// splitmix64 finalizer - deterministic, well-mixed 64-bit hash.
+static inline uint64_t mix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ull;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+  return x ^ (x >> 31);
+}
+
+static inline uint64_t hash_row(const uint32_t* row, int64_t wpr,
+                                int32_t len) {
+  uint64_t h = mix64((uint64_t)(uint32_t)len);
+  for (int64_t i = 0; i < wpr; ++i) h = mix64(h ^ row[i]);
+  return h;
+}
+
+// Count exact-duplicate rows: words [n, wpr] uint32 + lengths [n] ->
+// unique table (out_words [*, wpr], out_lengths, out_counts int64), first
+// occurrence order within each hash partition.  Caller allocates outputs
+// with capacity n rows.  Returns the number of unique rows.
+//
+// Partitioned by high hash bits so each thread owns a disjoint slice of
+// key space: no locks, deterministic counts.
+int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
+                       int64_t n, int64_t wpr, uint32_t* out_words,
+                       int32_t* out_lengths, int64_t* out_counts) {
+  if (n == 0) return 0;
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = 1;
+  if (n > 16384) {
+    nthreads = hw ? (int)hw : 4;
+    if (nthreads > 16) nthreads = 16;
+    while (nthreads & (nthreads - 1)) --nthreads;  // power of two partitions
+  }
+
+  std::vector<uint64_t> hashes((size_t)n);
+  {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t)
+      threads.emplace_back([=, &hashes] {
+        int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+        for (int64_t i = lo; i < hi; ++i)
+          hashes[i] = hash_row(words + i * wpr, wpr, lengths[i]);
+      });
+    for (auto& th : threads) th.join();
+  }
+
+  // Per-partition tables: capacity 2x the worst case (all rows unique and
+  // hash-skewed into one partition would still fit: cap >= n per
+  // partition when nthreads == 1; for P > 1 a 4x-mean cap plus linear
+  // probing absorbs realistic skew, and the insert loop grows on overflow).
+  struct Part {
+    std::vector<int64_t> slot;    // row index of the unique occupant, or -1
+    std::vector<int64_t> count;   // parallel to slot
+    std::vector<int64_t> uniq;    // occupied slot ids, insertion order
+  };
+  std::vector<Part> parts(nthreads);
+  std::vector<std::thread> threads;
+  int shift = 64;
+  for (int p = nthreads; p > 1; p >>= 1) --shift;  // top log2(P) bits
+  for (int t = 0; t < nthreads; ++t)
+    threads.emplace_back([=, &parts, &hashes] {
+      Part& P = parts[t];
+      size_t cap = 64;
+      // Start at ~1/2x the per-partition mean row count; the grow path
+      // doubles as uniques accumulate, so low-dup inputs still fit while
+      // high-dup inputs (the common dedup case) stay small.
+      int64_t expect = n / nthreads / 2 + 64;
+      while ((int64_t)cap < expect) cap <<= 1;
+      P.slot.assign(cap, -1);
+      P.count.assign(cap, 0);
+      uint64_t mask = cap - 1;
+      for (int64_t i = 0; i < n; ++i) {
+        uint64_t h = hashes[i];
+        if (nthreads > 1 && (int)(h >> shift) != t) continue;
+        size_t s = (size_t)(h & mask);
+        for (;;) {
+          int64_t occ = P.slot[s];
+          if (occ < 0) {
+            if (P.uniq.size() * 2 >= cap) {  // grow: keep load factor < 1/2
+              size_t ncap = cap * 2;
+              std::vector<int64_t> nslot(ncap, -1), ncount(ncap, 0);
+              uint64_t nmask = ncap - 1;
+              std::vector<int64_t> nuniq;
+              nuniq.reserve(P.uniq.size() + 1);
+              for (int64_t old_s : P.uniq) {
+                int64_t row = P.slot[old_s];
+                size_t q = (size_t)(hashes[row] & nmask);
+                while (nslot[q] >= 0) q = (q + 1) & nmask;
+                nslot[q] = row;
+                ncount[q] = P.count[old_s];
+                nuniq.push_back((int64_t)q);
+              }
+              P.slot.swap(nslot);
+              P.count.swap(ncount);
+              P.uniq.swap(nuniq);
+              cap = ncap;
+              mask = nmask;
+              s = (size_t)(h & mask);
+              continue;
+            }
+            P.slot[s] = i;
+            P.count[s] = 1;
+            P.uniq.push_back((int64_t)s);
+            break;
+          }
+          if (hashes[occ] == h && lengths[occ] == lengths[i] &&
+              memcmp(words + occ * wpr, words + i * wpr,
+                     (size_t)wpr * 4) == 0) {
+            ++P.count[s];
+            break;
+          }
+          s = (s + 1) & mask;
+        }
+      }
+    });
+  for (auto& th : threads) th.join();
+
+  // Emit: prefix-sum partition sizes, then parallel writes.
+  std::vector<int64_t> offs(nthreads + 1, 0);
+  for (int t = 0; t < nthreads; ++t)
+    offs[t + 1] = offs[t] + (int64_t)parts[t].uniq.size();
+  std::vector<std::thread> writers;
+  for (int t = 0; t < nthreads; ++t)
+    writers.emplace_back([=, &parts] {
+      Part& P = parts[t];
+      int64_t o = offs[t];
+      for (int64_t s : P.uniq) {
+        int64_t row = P.slot[s];
+        memcpy(out_words + o * wpr, words + row * wpr, (size_t)wpr * 4);
+        out_lengths[o] = lengths[row];
+        out_counts[o] = P.count[s];
+        ++o;
+      }
+    });
+  for (auto& th : writers) th.join();
+  return offs[nthreads];
+}
+
 }  // extern "C"

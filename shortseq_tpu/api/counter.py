@@ -175,20 +175,91 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     return counts
 
 
-def read_and_count_fastq(filename) -> ShortSeqCounter:
+def count_indexed_device(data, starts, lengths) -> ShortSeqCounter:
+    """Count indexed FASTQ rows (io.fastq.read_fastq_index output) on
+    device: host gather+pack+validate per width bucket, device
+    sort-unique-count, one native materialization call per bucket.  Bucket
+    tables are disjoint by length, so the final dict is their union."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..count import count_batch
+    from ..count.ingest import packed_buckets
+    from ..utils.warmup import start_transfer_warmup
+
+    counts = ShortSeqCounter()
+    if len(lengths) == 0:
+        return counts
+    # This pipeline fetches device results; overlap the one-time d2h
+    # handshake (see utils/warmup.py) with the pack/count work.
+    start_transfer_warmup()
+    for words, sub_len in packed_buckets(data, starts, lengths):
+        u_w, u_l, u_c, n_u = count_batch(jnp.asarray(words),
+                                         jnp.asarray(sub_len))
+        u_w, u_l, u_c, n_u = jax.device_get((u_w, u_l, u_c, n_u))
+        n_live = int(n_u)
+        update_counter_from_host_table(
+            counts, u_w[:n_live], u_l[:n_live], u_c[:n_live])
+    return counts
+
+
+def count_indexed_host(data, starts, lengths) -> ShortSeqCounter | None:
+    """Count indexed FASTQ rows entirely on the host: fused native gather +
+    2-bit pack + bloom validate, threaded partitioned hash count
+    (csrc ssq_host_count), one materialization call per bucket.  Same table
+    contents as the device engine - exact dedup is engine-independent.
+    Returns None when the native library is unavailable (callers fall back
+    to the device engine)."""
+    from ..count.ingest import packed_buckets
+    from ..io.native import host_count_native
+
+    counts = ShortSeqCounter()
+    if len(lengths) == 0:
+        return counts
+    for words, sub_len in packed_buckets(data, starts, lengths,
+                                         pad_pow2=False):
+        table = host_count_native(words, sub_len)
+        if table is None:
+            return None
+        update_counter_from_host_table(counts, *table)
+    return counts
+
+
+def read_and_count_fastq(filename, engine: str = "auto") -> ShortSeqCounter:
     """End-to-end FASTQ dedup pipeline with the reference's phase-timing
     print (reference counter.pyx:57-71).
 
-    The throughput path: native sharder -> padded matrix -> device pack +
-    sort-unique-count -> host Counter materialization.  Bit-exact contents
-    vs the reference's object-at-a-time dict counting.
+    All engines share the ingest path - native index (starts/lengths only,
+    no row copy) -> fused host gather + 2-bit pack + bloom validate - and
+    produce bit-identical Counter contents; they differ only in where the
+    unique-count reduction runs:
+
+    * "host": threaded native hash count.  Fastest single-host engine -
+      nothing crosses to the device (the reference's entry point is also
+      host-only, counter.pyx:57-71).
+    * "device": TPU sort-unique-count over packed words - the engine the
+      distributed pipeline scales with (dist/pipeline.py); on-device tables
+      feed collective merges without a host round trip.
+    * "auto" (default): "host" when the native library is built, else
+      "device".  Single-file counting is transfer-bound, not FLOP-bound,
+      so the host engine wins whenever it exists; multi-host runs use
+      read_and_count_fastq_distributed, which is always on-device.
     """
-    from ..io.fastq import read_fastq_matrix
+    from ..io.fastq import read_fastq_index
 
     t1 = time.time()
-    mat, lengths = read_fastq_matrix(filename)
+    data, starts, lengths = read_fastq_index(filename)
     t2 = time.time()
-    counts = count_matrix_device(mat, lengths)
+    counts = None
+    if engine not in ("auto", "host", "device"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine in ("auto", "host"):
+        counts = count_indexed_host(data, starts, lengths)
+        if counts is None and engine == "host":
+            raise RuntimeError(
+                "engine='host' requires the native library (g++)")
+    if counts is None:
+        counts = count_indexed_device(data, starts, lengths)
     t3 = time.time()
 
     print(f"{t2 - t1:.2f}s to read {len(lengths)} total seqs, "

@@ -1,0 +1,65 @@
+"""Host-side ingest: indexed FASTQ rows -> padded packed-word buckets.
+
+2-bit packing and bloom validation happen during the host gather
+(io.fastq.gather_pack - reference semantics util.pyx:78-140 /
+util.pxd:88-127), so the device receives packed uint32 lanes: 4x less
+host->device traffic than shipping ASCII rows, and no separate device
+validation pass.  The device pack kernel (ops.bitpack.pack_and_validate_u32)
+remains the path for data already resident on device (batch.PackedBatch,
+count_matrix_device).
+
+Buckets follow the reference's width ladder (short_seq.pyx:54-74):
+<=32 nt -> 2 lanes, <=96 -> 6, <=1024 -> 64.  The batch dimension is padded
+to a power of two (compile-cache reuse; XLA recompiles per shape) with
+PAD_LENGTH sentinel rows that unique_count drops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import MAX_64_NT, MAX_192_NT, MAX_VAR_NT, TOO_LONG_MSG
+
+WIDTH_EDGES = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
+               (MAX_192_NT, MAX_VAR_NT, 1024)]
+
+
+def packed_buckets(data, starts, lengths, batch_size: int | None = None,
+                   min_pad: int = 256, pad_pow2: bool = True):
+    """Yield (words uint32 [M, width//16], sub_len int32 [M]) per width
+    bucket, host-packed and host-validated, batch dim padded to a power of
+    two (>= min_pad) with PAD_LENGTH rows.  batch_size caps the un-padded
+    rows per yield (streaming pipelines); None = one batch per bucket.
+    pad_pow2=False skips the batch-dim padding (host engines have no
+    compile cache to feed).
+
+    Raises the reference's errors: "Unsupported base character: X" on an
+    invalid byte (short_seq_64.pyx:105), TOO_LONG_MSG past 1024 nt
+    (short_seq.pyx:73-74).
+    """
+    from ..count.device import PAD_LENGTH
+    from ..io.fastq import gather_pack
+
+    lengths = np.asarray(lengths)
+    if len(lengths) and int(lengths.max()) > MAX_VAR_NT:
+        raise Exception(TOO_LONG_MSG)
+    starts = np.asarray(starts)
+    for lo, hi, width in WIDTH_EDGES:
+        sel = (lengths > lo) & (lengths <= hi)
+        if lo == 0:
+            sel |= lengths == 0
+        if not sel.any():
+            continue
+        s_all = starts[sel]
+        len_all = lengths[sel].astype(np.int32)
+        bs = batch_size or len(len_all)
+        for off in range(0, len(len_all), bs):
+            sub_len = len_all[off:off + bs]
+            words = gather_pack(data, s_all[off:off + bs], sub_len, width)
+            m = len(sub_len)
+            m_pad = max(min_pad, 1 << (m - 1).bit_length()) if pad_pow2 else m
+            if m_pad != m:
+                words = np.pad(words, ((0, m_pad - m), (0, 0)))
+                sub_len = np.pad(sub_len, (0, m_pad - m),
+                                 constant_values=PAD_LENGTH)
+            yield words, sub_len

@@ -21,55 +21,21 @@ import numpy as np
 from ..config import DEFAULT_CONFIG, PipelineConfig
 
 
-def _batched_count_tables(mat, lengths, config: PipelineConfig):
-    """Yield device count tables for one shard's read matrix, one padded
-    batch per width bucket per batch_size chunk."""
+def _batched_count_tables(data, starts, lengths, config: PipelineConfig):
+    """Yield device count tables for one shard's indexed reads, one padded
+    batch per width bucket per batch_size chunk.  Packing + bloom
+    validation happen in the host gather (count/ingest.packed_buckets), so
+    only 2-bit words cross to the device."""
     import jax.numpy as jnp
 
-    from ..constants import MAX_64_NT, MAX_192_NT, MAX_VAR_NT, TOO_LONG_MSG
     from ..count import unique_count
-    from ..count.device import PAD_LENGTH
-    from ..oracle import first_invalid_char
-    from ..ops.bitpack import pack_and_validate_u32
+    from ..count.ingest import packed_buckets
 
-    if len(lengths) and int(np.max(lengths)) > MAX_VAR_NT:
-        raise Exception(TOO_LONG_MSG)
-
-    edges = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
-             (MAX_192_NT, MAX_VAR_NT, 1024)]
-    for lo, hi, width in edges:
-        sel = (lengths > lo) & (lengths <= hi)
-        if lo == 0:
-            sel |= lengths == 0
-        if not sel.any():
-            continue
-        rows_all = mat[sel][:, :width] if mat.shape[1] >= width \
-            else np.pad(mat[sel], ((0, 0), (0, width - mat.shape[1])))
-        len_all = lengths[sel].astype(np.int32)
-        bs = config.batch_size
-        for off in range(0, len(len_all), bs):
-            rows = rows_all[off:off + bs]
-            sub_len = len_all[off:off + bs]
-            m = len(sub_len)
-            m_pad = max(config.min_batch_pad, 1 << (m - 1).bit_length())
-            if m_pad != m:
-                rows = np.pad(rows, ((0, m_pad - m), (0, 0)))
-                sub_len = np.pad(sub_len, (0, m_pad - m),
-                                 constant_values=PAD_LENGTH)
-            val_len = np.where(
-                sub_len == PAD_LENGTH, 0, sub_len).astype(np.int32)
-            words, ok = pack_and_validate_u32(
-                jnp.asarray(np.ascontiguousarray(rows).view(np.uint32)),
-                jnp.asarray(val_len))
-            ok = np.asarray(ok)[:m]
-            if not ok.all():
-                from ..constants import UNSUPPORTED_BASE_MSG
-
-                i = int(np.argmin(ok))
-                bad = first_invalid_char(rows[i, :val_len[i]])
-                raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
-            yield unique_count(words, jnp.asarray(sub_len),
-                               jnp.ones(m_pad, jnp.int32))
+    for words, sub_len in packed_buckets(
+            data, starts, lengths, batch_size=config.batch_size,
+            min_pad=config.min_batch_pad):
+        yield unique_count(jnp.asarray(words), jnp.asarray(sub_len),
+                           jnp.ones(len(sub_len), jnp.int32))
 
 
 def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
@@ -86,7 +52,7 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
     from ..count.checkpoint import (check_manifest, completed_shards,
                                     file_fingerprint, load_table, save_table,
                                     shard_path)
-    from ..io.fastq import read_fastq_matrix
+    from ..io.fastq import read_fastq_index
     from ..utils.warmup import start_transfer_warmup
 
     start_transfer_warmup()
@@ -109,8 +75,9 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
             continue
         lo = shard * size // n_shards
         hi = (shard + 1) * size // n_shards
-        mat, lengths = read_fastq_matrix(filename, byte_range=(lo, hi))
-        shard_tables = list(_batched_count_tables(mat, lengths, config))
+        data, starts, lengths = read_fastq_index(filename, byte_range=(lo, hi))
+        shard_tables = list(_batched_count_tables(data, starts, lengths,
+                                                  config))
         if ckpt:
             merged = _merge_device_tables(shard_tables)
             save_table(shard_path(ckpt, host, shard), *merged)

@@ -136,3 +136,73 @@ class TestDeviceCountPipeline:
             f.write(b"@r0\nACGT\n+\nIIII\n@r1\nACNT\n+\nIIII\n")
         with pytest.raises(Exception, match="Unsupported base character"):
             sq.read_and_count_fastq(str(path))
+
+
+class TestCountEngines:
+    """read_and_count_fastq's host/device engines produce identical
+    Counters (engine choice is a transport decision, never a semantic
+    one)."""
+
+    def _mixed_file(self, tmp_path, rng):
+        reads = ([rand_read(rng, 1, 32) for _ in range(120)]
+                 + [rand_read(rng, 33, 96) for _ in range(40)]
+                 + [rand_read(rng, 97, 200) for _ in range(20)])
+        reads = reads + reads[::3]
+        path = tmp_path / "engines.fastq"
+        write_fastq(path, reads)
+        return path, reads
+
+    def test_host_equals_device(self, tmp_path, rng):
+        from shortseq_tpu.io.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("native library unavailable")
+        path, reads = self._mixed_file(tmp_path, rng)
+        host = sq.read_and_count_fastq(str(path), engine="host")
+        device = sq.read_and_count_fastq(str(path), engine="device")
+        assert host == device
+        assert {str(k): v for k, v in host.items()} == \
+            dict(collections.Counter(reads))
+
+    def test_host_count_native_parity(self, rng):
+        import numpy as np
+
+        from shortseq_tpu.io.native import host_count_native
+
+        if host_count_native(np.zeros((0, 2), np.uint32),
+                             np.zeros(0, np.int32)) is None:
+            pytest.skip("native library unavailable")
+        nrng = np.random.default_rng(3)
+        uniq = nrng.integers(0, 2**32, size=(700, 3), dtype=np.uint32)
+        ulen = nrng.integers(0, 49, size=700).astype(np.int32)
+        pick = nrng.integers(0, 700, size=20000)
+        u_w, u_l, u_c = host_count_native(uniq[pick], ulen[pick])
+        ref = collections.Counter(
+            (int(l), tuple(map(int, w)))
+            for w, l in zip(uniq[pick], ulen[pick]))
+        got = {(int(l), tuple(map(int, w))): int(c)
+               for w, l, c in zip(u_w, u_l, u_c)}
+        assert got == dict(ref)
+        assert int(u_c.sum()) == 20000
+
+    def test_unknown_engine_raises(self, tmp_path, rng):
+        path, _ = self._mixed_file(tmp_path, rng)
+        with pytest.raises(ValueError, match="unknown engine"):
+            sq.read_and_count_fastq(str(path), engine="gpu")
+
+    def test_host_engine_requires_native(self, tmp_path, rng, monkeypatch):
+        import shortseq_tpu.api.counter as counter_mod
+
+        path, _ = self._mixed_file(tmp_path, rng)
+        monkeypatch.setattr(counter_mod, "count_indexed_host",
+                            lambda *a: None)
+        with pytest.raises(RuntimeError, match="native library"):
+            sq.read_and_count_fastq(str(path), engine="host")
+
+    def test_empty_read_counts_as_empty_singleton(self, tmp_path):
+        path = tmp_path / "empty_read.fastq"
+        with open(path, "wb") as f:
+            f.write(b"@r0\n\n+\n\n@r1\nACGT\n+\nIIII\n@r2\n\n+\n\n")
+        counts = sq.read_and_count_fastq(str(path))
+        assert counts[sq.pack("")] == 2
+        assert counts[sq.pack("ACGT")] == 1
