@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--no-parity", action="store_true")
     ap.add_argument("--keep", default=None,
                     help="reuse/keep the FASTQ at this path")
+    ap.add_argument("--engine", default="auto",
+                    choices=("auto", "host", "device"))
     args = ap.parse_args()
 
     path = args.keep or os.path.join(tempfile.mkdtemp(), "profile10m.fastq")
@@ -75,17 +77,22 @@ def main():
         size, gen_s = os.path.getsize(path), 0.0
 
     from shortseq_tpu.api.counter import read_and_count_fastq
-    from shortseq_tpu.utils.warmup import start_transfer_warmup
 
-    start_transfer_warmup()
+    if args.engine == "device":
+        # Only the device engine round-trips to the chip; overlap its
+        # one-time d2h handshake with the parse (utils/warmup.py).
+        from shortseq_tpu.utils.warmup import start_transfer_warmup
+
+        start_transfer_warmup()
     rss0 = rss_mb()
     t0 = time.time()
-    counts = read_and_count_fastq(path)
+    counts = read_and_count_fastq(path, engine=args.engine)
     wall = time.time() - t0
     rss1 = rss_mb()
 
     result = {
         "metric": "end_to_end_dedup_reads_per_s",
+        "engine": args.engine,
         "n_reads": args.n,
         "file_bytes": size,
         "wall_s": wall,
@@ -94,7 +101,8 @@ def main():
         "rss_before_mb": round(rss0, 1),
         "rss_after_mb": round(rss1, 1),
         "gen_s": round(gen_s, 1),
-        "backend": __import__("jax").devices()[0].platform,
+        "backend": ("host-native" if args.engine != "device"
+                    else __import__("jax").devices()[0].platform),
     }
 
     if not args.no_parity:

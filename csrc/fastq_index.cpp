@@ -53,19 +53,26 @@ int64_t ssq_count_lines(const char* buf, int64_t n) {
 // starts[i]/lengths[i] receive the byte offset and length (newline excluded)
 // of the i-th record's sequence line.  Returns the number of records, or
 // -(needed) if cap is too small.  A missing final newline is tolerated.
-int64_t ssq_fastq_index(const char* buf, int64_t n, int64_t* starts,
-                        int32_t* lengths, int64_t cap) {
-  int64_t line = 0;      // 0-based line counter
+int64_t ssq_fastq_sync(const char* buf, int64_t n, int64_t offset);
+
+// Index the byte range [lo, hi): record sequence-line (start, length) pairs
+// into `starts`/`lengths` from slot `base` on, bounded by `cap` slots
+// total.  `lo` must be a record boundary (line parity restarts at 0).
+// Returns the number of sequence lines found (even past cap).
+static int64_t index_range(const char* buf, int64_t lo, int64_t hi,
+                           int64_t* starts, int32_t* lengths, int64_t base,
+                           int64_t cap) {
+  int64_t line = 0;
   int64_t count = 0;
-  const char* p = buf;
-  const char* end = buf + n;
+  const char* p = buf + lo;
+  const char* end = buf + hi;
   while (p < end) {
     const char* nl = (const char*)memchr(p, '\n', end - p);
     const char* line_end = nl ? nl : end;
     if ((line & 3) == 1) {  // 2nd line of each 4-line record
-      if (count < cap) {
-        starts[count] = p - buf;
-        lengths[count] = (int32_t)(line_end - p);
+      if (base + count < cap) {
+        starts[base + count] = p - buf;
+        lengths[base + count] = (int32_t)(line_end - p);
       }
       ++count;
     }
@@ -73,7 +80,61 @@ int64_t ssq_fastq_index(const char* buf, int64_t n, int64_t* starts,
     p = nl + 1;
     ++line;
   }
-  return count <= cap ? count : -count;
+  return count;
+}
+
+int64_t ssq_fastq_index(const char* buf, int64_t n, int64_t* starts,
+                        int32_t* lengths, int64_t cap) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = n > (8 << 20) ? (hw ? (int)hw : 4) : 1;
+  if (nthreads == 1) {
+    int64_t count = index_range(buf, 0, n, starts, lengths, 0, cap);
+    return count <= cap ? count : -count;
+  }
+  // Parallel: split at record boundaries (the byte-range sharding
+  // heuristic, ssq_fastq_sync), index each span into scratch, then
+  // compact.  Boundary 0 stays 0 so malformed leading bytes index exactly
+  // as the sequential scan would.
+  std::vector<int64_t> bounds(nthreads + 1);
+  bounds[0] = 0;
+  for (int t = 1; t < nthreads; ++t)
+    bounds[t] = ssq_fastq_sync(buf, n, t * n / nthreads);
+  bounds[nthreads] = n;
+  struct Span {
+    std::vector<int64_t> starts;
+    std::vector<int32_t> lengths;
+  };
+  std::vector<Span> spans(nthreads);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t)
+    threads.emplace_back([=, &spans, &bounds] {
+      int64_t lo = bounds[t], hi = bounds[t + 1];
+      if (lo >= hi) return;
+      Span& s = spans[t];
+      int64_t est = (hi - lo) / 32 + 4;  // lines avg well above 8 bytes
+      s.starts.resize(est);
+      s.lengths.resize(est);
+      int64_t c = index_range(buf, lo, hi, s.starts.data(),
+                              s.lengths.data(), 0, est);
+      if (c > est) {  // rare: re-run with exact capacity
+        s.starts.resize(c);
+        s.lengths.resize(c);
+        index_range(buf, lo, hi, s.starts.data(), s.lengths.data(), 0, c);
+      }
+      s.starts.resize(c);
+      s.lengths.resize(c);
+    });
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (auto& s : spans) total += (int64_t)s.starts.size();
+  if (total > cap) return -total;
+  int64_t off = 0;
+  for (auto& s : spans) {
+    memcpy(starts + off, s.starts.data(), s.starts.size() * 8);
+    memcpy(lengths + off, s.lengths.data(), s.lengths.size() * 4);
+    off += (int64_t)s.starts.size();
+  }
+  return total;
 }
 
 // Gather indexed sequence lines into a zero-padded row-major [n_reads, width]

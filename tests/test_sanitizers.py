@@ -27,18 +27,26 @@ HARNESS = textwrap.dedent("""
       int64_t ssq_fastq_sync(const char*, int64_t, int64_t);
       int64_t ssq_pack_rows(const uint8_t*, const int32_t*, int64_t, int64_t,
                             uint32_t*);
+      int64_t ssq_gather_pack(const char*, const int64_t*, const int32_t*,
+                              int64_t, int64_t, uint32_t*);
+      int64_t ssq_host_count(const uint32_t*, const int32_t*, int64_t,
+                             int64_t, uint32_t*, int32_t*, int64_t*);
     }
     int main() {
+      // 250k records (~9 MB) crosses the parallel-index threshold (8 MB)
+      // so the sync-split multi-threaded indexer runs under the sanitizer.
+      const int64_t N = 250000;
       std::string fq;
-      for (int i = 0; i < 20000; ++i)
+      fq.reserve(N * 40);
+      for (int64_t i = 0; i < N; ++i)
         fq += "@r" + std::to_string(i) + "\\nACGTACGTACGTACGT\\n+\\n@IIIIIIIIIIIIIII\\n";
       int64_t n = (int64_t)fq.size();
-      if (ssq_count_lines(fq.data(), n) != 80000) return 1;
-      std::vector<int64_t> starts(20001);
-      std::vector<int32_t> lengths(20001);
+      if (ssq_count_lines(fq.data(), n) != 4 * N) return 1;
+      std::vector<int64_t> starts(N + 1);
+      std::vector<int32_t> lengths(N + 1);
       int64_t reads = ssq_fastq_index(fq.data(), n, starts.data(),
-                                      lengths.data(), 20001);
-      if (reads != 20000) return 2;
+                                      lengths.data(), N + 1);
+      if (reads != N) return 2;
       std::vector<uint8_t> mat(reads * 16);
       ssq_gather_padded(fq.data(), starts.data(), lengths.data(), reads, 16,
                         mat.data());
@@ -47,6 +55,24 @@ HARNESS = textwrap.dedent("""
       if (ssq_pack_rows(mat.data(), lengths.data(), reads, 16, words.data()))
         return 4;
       if (ssq_fastq_sync(fq.data(), n, 1) == 0) return 5;
+      // Fused gather+pack must agree with the matrix route.
+      std::vector<uint32_t> words2(reads * 1);
+      if (ssq_gather_pack(fq.data(), starts.data(), lengths.data(), reads, 16,
+                          words2.data()))
+        return 6;
+      if (memcmp(words.data(), words2.data(), reads * 4) != 0) return 7;
+      // Threaded partitioned hash count: N identical keys -> 1 unique.
+      std::vector<uint32_t> uw(reads * 1);
+      std::vector<int32_t> ul(reads);
+      std::vector<int64_t> uc(reads);
+      int64_t uniq = ssq_host_count(words.data(), lengths.data(), reads, 1,
+                                    uw.data(), ul.data(), uc.data());
+      if (uniq != 1 || uc[0] != reads) return 8;
+      // And all-unique rows stress the table-growth path.
+      for (int64_t i = 0; i < reads; ++i) words[i] = (uint32_t)i;
+      uniq = ssq_host_count(words.data(), lengths.data(), reads, 1,
+                            uw.data(), ul.data(), uc.data());
+      if (uniq != reads) return 9;
       return 0;
     }
 """)
