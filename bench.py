@@ -224,6 +224,36 @@ def bench_materialize(n=1 << 20, lanes=2):
     return n / best
 
 
+def bench_end_to_end(n=1_000_000, engine="host"):
+    """read_and_count_fastq reads/s on a generated 1M-read file (the
+    reference's profiling scenario shape, unit_tests_profiling.py:24-37,
+    scaled 10x down to keep the bench round short; PROFILE10M_r02.json has
+    the full-size runs for both engines)."""
+    import os
+    import tempfile
+
+    from benchmarks.profile_10m import make_fastq
+    from shortseq_tpu.api.counter import read_and_count_fastq
+
+    path = os.path.join(tempfile.mkdtemp(), "bench_e2e.fastq")
+    try:
+        make_fastq(path, n)
+        # Two runs, report the better: the first device run pays a one-time
+        # XLA compile for this batch shape (~30-40 s through the tunnel;
+        # persisted in the compile cache thereafter), which would otherwise
+        # swamp the 1M-read wall time.  Steady state is what recurs.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            counts = read_and_count_fastq(path, engine=engine)
+            best = min(best, time.perf_counter() - t0)
+            assert sum(counts.values()) == n
+        return n / best
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
 def bench_dispatch(width=160, n=1 << 16):
     """Per-dispatch wall time for a small pack call - isolates the runtime
     dispatch/tunnel latency the slope benches cancel."""
@@ -259,6 +289,10 @@ def main():
         "pairwise_hamming_pairs_per_s": _try(bench_pairwise),
         "dedup_reads_per_s": _try(bench_dedup),
         "materialize_keys_per_s": _try(bench_materialize),
+        "end_to_end_host_reads_per_s": _try(bench_end_to_end, 1_000_000,
+                                            "host"),
+        "end_to_end_device_reads_per_s": _try(bench_end_to_end, 1_000_000,
+                                              "device"),
         "dispatch_latency_s": _try(bench_dispatch),
         "backend": _try(lambda: jax.devices()[0].platform),
     }

@@ -48,10 +48,14 @@ def packed_buckets(data, starts, lengths, batch_size: int | None = None,
         sel = (lengths > lo) & (lengths <= hi)
         if lo == 0:
             sel |= lengths == 0
-        if not sel.any():
+        n_sel = int(np.count_nonzero(sel))
+        if n_sel == 0:
             continue
-        s_all = starts[sel]
-        len_all = lengths[sel].astype(np.int32)
+        if n_sel == len(lengths):  # single-bucket file: skip the gather
+            s_all, len_all = starts, lengths.astype(np.int32, copy=False)
+        else:
+            s_all = starts[sel]
+            len_all = lengths[sel].astype(np.int32)
         bs = batch_size or len(len_all)
         for off in range(0, len(len_all), bs):
             sub_len = len_all[off:off + bs]
