@@ -75,7 +75,10 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
             continue
         lo = shard * size // n_shards
         hi = (shard + 1) * size // n_shards
-        data, starts, lengths = read_fastq_index(filename, byte_range=(lo, hi))
+        # n_shards == 1 reads the whole file directly - no byte-range path,
+        # so single-shard runs also accept gzip input.
+        rng = (lo, hi) if n_shards > 1 else None
+        data, starts, lengths = read_fastq_index(filename, byte_range=rng)
         shard_tables = list(_batched_count_tables(data, starts, lengths,
                                                   config))
         if ckpt:

@@ -7,10 +7,16 @@ vectorized numpy over the whole buffer (C speed, no Python loop per line);
 a C++ mmap sharder with byte-range splitting for multi-host runs lives in
 csrc/ and is used when built.
 
-Two consumers:
+Three consumers:
+  * read_fastq_index + gather_pack -> packed uint32 lanes straight from
+    the file buffer (the throughput path: fused native gather + 2-bit pack
+    + bloom validate, count/ingest.packed_buckets).
   * read_fastq_matrix -> padded uint8 matrix + lengths, feeding the device
-    pack kernel (the throughput path).
+    pack kernel (for data that should arrive on device as ASCII).
   * read_fastq_seqs   -> list of ShortSeq objects (reference-compatible).
+
+Gzip input is detected by magic bytes and decompressed transparently
+(whole-file reads only; byte-range sharding needs random access).
 """
 
 from __future__ import annotations
@@ -18,7 +24,20 @@ from __future__ import annotations
 import numpy as np
 
 
+def _is_gzip(filename) -> bool:
+    with open(filename, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
 def _read_bytes(filename) -> bytes:
+    """Whole-file read, transparently decompressing gzip (detected by
+    magic bytes, not extension - real FASTQ is usually .fastq.gz; the
+    reference's getline reader cannot read it at all)."""
+    if _is_gzip(filename):
+        import gzip
+
+        with gzip.open(filename, "rb") as f:
+            return f.read()
     with open(filename, "rb") as f:
         return f.read()
 
@@ -42,6 +61,11 @@ def _read_range_synced(filename, lo: int, hi: int):
     far under the 1 MB margin)."""
     import os
 
+    if _is_gzip(filename):
+        raise ValueError(
+            "byte-range sharding needs random access; gzip streams have "
+            "none. Decompress the file once (or use bgzip externally) "
+            "before multi-shard/multi-host runs.")
     size = os.path.getsize(filename)
     lo = max(0, min(lo, size))
     base = max(0, lo - 1)

@@ -199,6 +199,36 @@ class TestCountEngines:
         with pytest.raises(RuntimeError, match="native library"):
             sq.read_and_count_fastq(str(path), engine="host")
 
+    def test_gzip_fastq_transparent(self, tmp_path, rng):
+        """.fastq.gz counts identically to the plain file (magic-byte
+        detection; a capability the reference's getline reader lacks)."""
+        import gzip
+
+        reads = [rand_read(rng) for _ in range(300)] * 2
+        plain = tmp_path / "t.fastq"
+        write_fastq(plain, reads)
+        gz = tmp_path / "t.fastq.gz"
+        gz.write_bytes(gzip.compress(plain.read_bytes()))
+        assert sq.read_and_count_fastq(str(gz)) == \
+            sq.read_and_count_fastq(str(plain))
+
+    def test_gzip_rejects_byte_range_sharding(self, tmp_path, rng):
+        import gzip
+
+        from shortseq_tpu.io.fastq import read_fastq_index
+
+        plain = tmp_path / "t.fastq"
+        write_fastq(plain, [rand_read(rng) for _ in range(50)])
+        gz = tmp_path / "t.fastq.gz"
+        gz.write_bytes(gzip.compress(plain.read_bytes()))
+        with pytest.raises(ValueError, match="random access"):
+            read_fastq_index(str(gz), byte_range=(0, 100))
+        # Single-shard pipeline runs still work on gzip.
+        from shortseq_tpu.dist.pipeline import (count_fastq_sharded,
+                                                table_to_counter)
+        table = count_fastq_sharded(str(gz), n_shards=1)
+        assert table_to_counter(table) == sq.read_and_count_fastq(str(plain))
+
     def test_empty_read_counts_as_empty_singleton(self, tmp_path):
         path = tmp_path / "empty_read.fastq"
         with open(path, "wb") as f:
