@@ -1,0 +1,98 @@
+"""Command-line entry point: `python -m shortseq_tpu <command>`.
+
+The reference is library-only; this thin CLI wraps the same package
+surface so the north-star workload (FASTQ dedup, SURVEY.md section 3.5)
+is runnable without writing Python.
+
+Commands:
+  count FILE   exact-dedup a FASTQ (plain or gzip), print a TSV count table
+  pack SEQ...  pack sequences and show their width class, hex words, hash
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_count(args) -> int:
+    from .api.counter import (count_indexed_device, count_indexed_host)
+    from .io.fastq import read_fastq_index
+
+    t0 = time.time()
+    data, starts, lengths = read_fastq_index(args.file)
+    t_read = time.time() - t0
+    t0 = time.time()
+    counts = None
+    if args.engine in ("auto", "host"):
+        counts = count_indexed_host(data, starts, lengths)
+        if counts is None and args.engine == "host":
+            print("error: engine='host' requires the native library (g++)",
+                  file=sys.stderr)
+            return 2
+    if counts is None:
+        counts = count_indexed_device(data, starts, lengths)
+    t_count = time.time() - t0
+    print(f"{t_read:.2f}s to read {len(lengths)} total seqs, and "
+          f"{t_count:.2f}s to count {len(counts)} unique sequences",
+          file=sys.stderr)
+
+    items = sorted(counts.items(), key=lambda kv: -kv[1])
+    if args.top:
+        items = items[:args.top]
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        if args.json:
+            json.dump({str(k): v for k, v in items}, out)
+            out.write("\n")
+        else:
+            for k, v in items:
+                out.write(f"{k}\t{v}\n")
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def _cmd_pack(args) -> int:
+    from . import pack
+    from .oracle import encode_bytes
+
+    for s in args.seq:
+        obj = pack(s)
+        blocks = encode_bytes(s.encode())  # reference uint64 block layout
+        words = " ".join(f"{b:016x}" for b in blocks)
+        print(f"{s}\t{type(obj).__name__}\tlen={len(obj)}\t"
+              f"hash={hash(obj)}\tblocks={words or '-'}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m shortseq_tpu",
+                                 description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("count", help="exact-dedup a FASTQ file")
+    c.add_argument("file")
+    c.add_argument("--engine", default="auto",
+                   choices=("auto", "host", "device"))
+    c.add_argument("--top", type=int, default=0,
+                   help="only the N most frequent sequences")
+    c.add_argument("--json", action="store_true",
+                   help="JSON object instead of TSV")
+    c.add_argument("--output", "-o", default=None,
+                   help="write the table here instead of stdout")
+    c.set_defaults(fn=_cmd_count)
+
+    p = sub.add_parser("pack", help="pack sequences, show their encoding")
+    p.add_argument("seq", nargs="+")
+    p.set_defaults(fn=_cmd_pack)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

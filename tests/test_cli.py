@@ -1,0 +1,56 @@
+"""CLI smoke tests (python -m shortseq_tpu)."""
+
+import collections
+import json
+import random
+
+import pytest
+
+import shortseq_tpu as sq
+from shortseq_tpu.__main__ import main
+
+
+@pytest.fixture
+def fastq(tmp_path):
+    rng = random.Random(11)
+    reads = ["".join(rng.choice("ACGT") for _ in range(rng.randint(8, 30)))
+             for _ in range(150)] * 2
+    path = tmp_path / "cli.fastq"
+    with open(path, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n".encode())
+    return path, reads
+
+
+def test_count_tsv(fastq, tmp_path, capsys):
+    path, reads = fastq
+    out = tmp_path / "counts.tsv"
+    assert main(["count", str(path), "-o", str(out)]) == 0
+    rows = [line.split("\t") for line in out.read_text().splitlines()]
+    got = {seq: int(c) for seq, c in rows}
+    assert got == dict(collections.Counter(reads))
+    # Sorted by descending count.
+    counts = [int(c) for _, c in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_count_json_top(fastq, capsys):
+    path, reads = fastq
+    assert main(["count", str(path), "--json", "--top", "5"]) == 0
+    captured = capsys.readouterr()
+    got = json.loads(captured.out)
+    assert len(got) == 5
+    ref = collections.Counter(reads)
+    for seq, c in got.items():
+        assert ref[seq] == c
+    assert "unique sequences" in captured.err
+
+
+def test_pack_command(capsys):
+    assert main(["pack", "ACGT"]) == 0
+    out = capsys.readouterr().out
+    fields = out.strip().split("\t")
+    assert fields[0] == "ACGT" and fields[1] == "ShortSeq64"
+    assert f"hash={hash(sq.pack('ACGT'))}" in fields
+    # Block hex matches the oracle encoding (A=00 C=01 G=11 T=10 LSB-first).
+    assert fields[-1] == "blocks=00000000000000b4"
