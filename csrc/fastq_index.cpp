@@ -94,7 +94,12 @@ int64_t ssq_fastq_index(const char* buf, int64_t n, int64_t* starts,
   // Parallel: split at record boundaries (the byte-range sharding
   // heuristic, ssq_fastq_sync), index each span into scratch, then
   // compact.  Boundary 0 stays 0 so malformed leading bytes index exactly
-  // as the sequential scan would.
+  // as the sequential scan would.  On well-formed FASTQ the result is
+  // byte-identical to the sequential scan; on malformed input (stray
+  // blank lines, 3-line records) each span restarts line parity at its
+  // sync boundary, which matches the byte-range *sharding* semantics
+  // rather than a whole-file parity scan - the same contract multi-host
+  // shards already have.
   std::vector<int64_t> bounds(nthreads + 1);
   bounds[0] = 0;
   for (int t = 1; t < nthreads; ++t)

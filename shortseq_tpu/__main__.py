@@ -14,30 +14,21 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 
 def _cmd_count(args) -> int:
-    from .api.counter import (count_indexed_device, count_indexed_host)
-    from .io.fastq import read_fastq_index
+    import contextlib
 
-    t0 = time.time()
-    data, starts, lengths = read_fastq_index(args.file)
-    t_read = time.time() - t0
-    t0 = time.time()
-    counts = None
-    if args.engine in ("auto", "host"):
-        counts = count_indexed_host(data, starts, lengths)
-        if counts is None and args.engine == "host":
-            print("error: engine='host' requires the native library (g++)",
-                  file=sys.stderr)
-            return 2
-    if counts is None:
-        counts = count_indexed_device(data, starts, lengths)
-    t_count = time.time() - t0
-    print(f"{t_read:.2f}s to read {len(lengths)} total seqs, and "
-          f"{t_count:.2f}s to count {len(counts)} unique sequences",
-          file=sys.stderr)
+    from .api.counter import read_and_count_fastq
+
+    try:
+        # One engine policy lives in read_and_count_fastq; its reference
+        # phase-timing print goes to stderr so stdout stays a clean table.
+        with contextlib.redirect_stdout(sys.stderr):
+            counts = read_and_count_fastq(args.file, engine=args.engine)
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     items = sorted(counts.items(), key=lambda kv: -kv[1])
     if args.top:

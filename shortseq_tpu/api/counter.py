@@ -113,8 +113,7 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     """
     import numpy as np
 
-    from ..constants import (MAX_64_NT, MAX_192_NT, MAX_VAR_NT,
-                             TOO_LONG_MSG, UNSUPPORTED_BASE_MSG)
+    from ..constants import MAX_VAR_NT, TOO_LONG_MSG, UNSUPPORTED_BASE_MSG
 
     counts = ShortSeqCounter()
     if len(lengths) == 0:
@@ -127,6 +126,7 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
 
     from ..count import count_batch
     from ..count.device import PAD_LENGTH
+    from ..count.ingest import WIDTH_EDGES
     from ..oracle import first_invalid_char
     from ..ops.bitpack import pack_and_validate_u32
     from ..utils.warmup import start_transfer_warmup
@@ -135,9 +135,7 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     # handshake (see utils/warmup.py) with the pack/count work.
     start_transfer_warmup()
 
-    edges = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
-             (MAX_192_NT, MAX_VAR_NT, 1024)]
-    for lo, hi, width in edges:
+    for lo, hi, width in WIDTH_EDGES:
         sel = (lengths > lo) & (lengths <= hi)
         if lo == 0:
             sel |= lengths == 0
@@ -211,16 +209,17 @@ def count_indexed_host(data, starts, lengths) -> ShortSeqCounter | None:
     Returns None when the native library is unavailable (callers fall back
     to the device engine)."""
     from ..count.ingest import packed_buckets
-    from ..io.native import host_count_native
+    from ..io.native import get_lib, host_count_native
 
+    if get_lib() is None:
+        return None  # decide BEFORE packing: a late None would waste a
+        # full numpy gather+pack pass only to repeat it on the device path
     counts = ShortSeqCounter()
     if len(lengths) == 0:
         return counts
     for words, sub_len in packed_buckets(data, starts, lengths,
                                          pad_pow2=False):
         table = host_count_native(words, sub_len)
-        if table is None:
-            return None
         update_counter_from_host_table(counts, *table)
     return counts
 

@@ -64,22 +64,37 @@ def check_manifest(directory, **params) -> None:
     os.replace(tmp, path)
 
 
-def file_fingerprint(path) -> str:
-    """Cheap content fingerprint: sha256 over the first and last 64 KiB
-    plus the byte size.  Guards checkpoint resume against a modified input
-    of identical size (common for fixed-length-read FASTQs, where one
-    corrected base leaves the size unchanged); reading 128 KiB is
-    negligible next to counting the file."""
+def file_fingerprint(path, n_probes: int = 16) -> str:
+    """Content fingerprint guarding checkpoint resume against a modified
+    input of identical size (common for fixed-length-read FASTQs, where
+    one corrected base leaves the size unchanged).
+
+    Files <= 32 MiB are hashed in full (sha256, ~70 ms worst case), so any
+    edit is caught.  Larger files hash the size, the first and last
+    64 KiB, and 64 KiB probes at n_probes evenly spaced interior offsets -
+    a sampling guard: an edit between probes can escape, which is the
+    stated trade-off for keeping resume O(MiB) on arbitrarily large
+    inputs."""
     import hashlib
 
     size = os.path.getsize(path)
     h = hashlib.sha256()
     h.update(str(size).encode())
+    block = 65536
     with open(path, "rb") as f:
-        h.update(f.read(65536))
-        if size > 65536:
-            f.seek(max(65536, size - 65536))
-            h.update(f.read(65536))
+        if size <= (32 << 20):
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+            return h.hexdigest()[:32]
+        h.update(f.read(block))
+        for i in range(1, n_probes + 1):
+            off = size * i // (n_probes + 1)
+            if off <= block or off >= size - block:
+                continue
+            f.seek(off)
+            h.update(f.read(block))
+        f.seek(size - block)
+        h.update(f.read(block))
     return h.hexdigest()[:32]
 
 

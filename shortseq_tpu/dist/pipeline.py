@@ -206,14 +206,14 @@ def read_and_count_fastq_distributed(filename, n_shards: int | None = None,
 
 def table_to_counter(table):
     """Merged device table -> reference-identical ShortSeqCounter (one
-    native call for the whole table, api.counter.update_counter_from_host_table)."""
+    native call for the whole table, api.counter.update_counter_from_host_table).
+    Routes through _table_to_host so an n_out-too-small table raises the
+    overflow error instead of silently dropping keys."""
     import jax
 
     from ..api.counter import ShortSeqCounter, update_counter_from_host_table
 
     out = ShortSeqCounter()
-    u_w, u_l, u_c, n_u = jax.device_get(table)
-    n = int(n_u)
-    update_counter_from_host_table(
-        out, np.asarray(u_w)[:n], np.asarray(u_l)[:n], np.asarray(u_c)[:n])
+    w, l, c = _table_to_host(jax.device_get(table))
+    update_counter_from_host_table(out, w, l, c)
     return out

@@ -105,15 +105,21 @@ def fastq_index_native(data: bytes,
         n = len(data)
     if n == 0:
         return data, np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
-    # Capacity: one record per 4 lines; over-allocate then trim.
-    cap = lib.ssq_count_lines(data, n) // 4 + 2
-    starts = np.empty(cap, dtype=np.int64)
-    lengths = np.empty(cap, dtype=np.int32)
-    n_reads = lib.ssq_fastq_index(
-        data, n, _as_ptr(starts, ctypes.c_int64),
-        _as_ptr(lengths, ctypes.c_int32), cap)
-    assert n_reads >= 0, "capacity underestimate"
-    return data, starts[:n_reads], lengths[:n_reads]
+    # Capacity: one record per 4 lines, plus slack for the parallel
+    # indexer's per-span rounding on malformed files (each sync span can
+    # contribute one extra partial-parity line); the retry below covers
+    # any residual overflow exactly.
+    cap = lib.ssq_count_lines(data, n) // 4 + 130
+    for _ in range(2):
+        starts = np.empty(cap, dtype=np.int64)
+        lengths = np.empty(cap, dtype=np.int32)
+        n_reads = lib.ssq_fastq_index(
+            data, n, _as_ptr(starts, ctypes.c_int64),
+            _as_ptr(lengths, ctypes.c_int32), cap)
+        if n_reads >= 0:
+            return data, starts[:n_reads], lengths[:n_reads]
+        cap = -n_reads  # exact count reported; retry once with it
+    raise RuntimeError("fastq index capacity unstable")  # pragma: no cover
 
 
 def gather_pack_native(data: bytes, starts: np.ndarray, lengths: np.ndarray,

@@ -108,6 +108,23 @@ def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
     return idx, vals > 0, cnt
 
 
+_NEIGHBOR_STEP = None
+
+
+def _neighbor_step():
+    """Process-wide jitted _neighbor_block_device: one compile cache per
+    process, not per dedup call (each compile costs ~30-40 s through a
+    tunneled chip).  Lazy so importing the package never initializes a
+    jax backend (multi-host rule, dist/mesh.py)."""
+    global _NEIGHBOR_STEP
+    if _NEIGHBOR_STEP is None:
+        import jax
+
+        _NEIGHBOR_STEP = jax.jit(_neighbor_block_device,
+                                 static_argnames=("threshold", "k"))
+    return _NEIGHBOR_STEP
+
+
 def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
     """Sparse adjacency: neighbours[i] = indices j != i with
     hamming(i, j) <= threshold, equal lengths, and (optionally) equal
@@ -129,8 +146,7 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
     gids_np = (np.asarray(gids).astype(np.int32) if gids is not None
                else np.zeros(u, np.int32))
     gids_d = jnp.asarray(gids_np)
-    step = jax.jit(_neighbor_block_device,
-                   static_argnames=("threshold", "k"))
+    step = _neighbor_step()
 
     neighbors = [None] * u
     for lo in range(0, u, block):
