@@ -125,7 +125,7 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     import jax.numpy as jnp
 
     from ..count import count_batch
-    from ..count.device import PAD_LENGTH
+    from ..count.device import PAD_LENGTH, fetch_table
     from ..count.ingest import WIDTH_EDGES
     from ..oracle import first_invalid_char
     from ..ops.bitpack import pack_and_validate_u32
@@ -164,24 +164,30 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
             bad_idx = int(np.argmin(ok))
             bad = first_invalid_char(rows[bad_idx][:int(sub_len[bad_idx])])
             raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
-        u_w, u_l, u_c, n_u = count_batch(words, jnp.asarray(sub_len))
-        u_w, u_l, u_c, n_u = jax.device_get((u_w, u_l, u_c, n_u))
-        n_live = int(n_u)
-        update_counter_from_host_table(
-            counts, np.asarray(u_w)[:n_live], np.asarray(u_l)[:n_live],
-            np.asarray(u_c)[:n_live])
+        table = count_batch(words, jnp.asarray(sub_len))
+        u_w, u_l, u_c, n_live = fetch_table(*table)
+        update_counter_from_host_table(counts, u_w, u_l, u_c)
     return counts
 
 
-def count_indexed_device(data, starts, lengths) -> ShortSeqCounter:
+def count_indexed_device(data, starts, lengths,
+                         batch_size: int = 1 << 20) -> ShortSeqCounter:
     """Count indexed FASTQ rows (io.fastq.read_fastq_index output) on
-    device: host gather+pack+validate per width bucket, device
-    sort-unique-count, one native materialization call per bucket.  Bucket
-    tables are disjoint by length, so the final dict is their union."""
+    device: host gather+pack per width bucket, device sort-unique-count,
+    one native materialization call per bucket.  Bucket tables are
+    disjoint by length, so the final dict is their union.
+
+    Pipelined: rows stream to the device in `batch_size` chunks so the
+    host gather+pack of chunk i+1 overlaps the async transfer of chunk i
+    (JAX dispatch is asynchronous); the sort runs once per bucket over the
+    resident chunks, and only the table's live prefix comes back
+    (count.device.fetch_table), not the padding.
+    """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from ..count import count_batch
+    from ..count.device import PAD_LENGTH, fetch_table, unique_count
     from ..count.ingest import packed_buckets
     from ..utils.warmup import start_transfer_warmup
 
@@ -191,13 +197,23 @@ def count_indexed_device(data, starts, lengths) -> ShortSeqCounter:
     # This pipeline fetches device results; overlap the one-time d2h
     # handshake (see utils/warmup.py) with the pack/count work.
     start_transfer_warmup()
-    for words, sub_len in packed_buckets(data, starts, lengths):
-        u_w, u_l, u_c, n_u = count_batch(jnp.asarray(words),
-                                         jnp.asarray(sub_len))
-        u_w, u_l, u_c, n_u = jax.device_get((u_w, u_l, u_c, n_u))
-        n_live = int(n_u)
-        update_counter_from_host_table(
-            counts, u_w[:n_live], u_l[:n_live], u_c[:n_live])
+    chunks = []  # [(width_lanes, words_dev, lengths_dev)]
+    for words, sub_len in packed_buckets(data, starts, lengths,
+                                         batch_size=batch_size):
+        chunks.append((words.shape[1], jax.device_put(words),
+                       jax.device_put(sub_len)))
+    by_width = {}
+    for w, dw, dl in chunks:
+        by_width.setdefault(w, []).append((dw, dl))
+    for w, parts in by_width.items():
+        if len(parts) == 1:
+            dw, dl = parts[0]
+        else:
+            dw = jnp.concatenate([p[0] for p in parts], axis=0)
+            dl = jnp.concatenate([p[1] for p in parts], axis=0)
+        table = unique_count(dw, dl, jnp.ones(dw.shape[0], jnp.int32))
+        u_w, u_l, u_c, n_live = fetch_table(*table)
+        update_counter_from_host_table(counts, u_w, u_l, u_c)
     return counts
 
 

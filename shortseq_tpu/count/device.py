@@ -123,6 +123,41 @@ def count_batch(words: jax.Array, lengths: jax.Array):
     return unique_count(words, lengths, jnp.ones(words.shape[0], jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("c",))
+def _table_prefix(u_words, u_lengths, u_counts, c: int):
+    return (jax.lax.dynamic_slice_in_dim(u_words, 0, c, 0),
+            jax.lax.dynamic_slice_in_dim(u_lengths, 0, c, 0),
+            jax.lax.dynamic_slice_in_dim(u_counts, 0, c, 0))
+
+
+def fetch_table(u_words, u_lengths, u_counts, n_unique):
+    """Fetch only the live prefix of a device count table to host.
+
+    A count table is padded to its input size, but after dedup only
+    `n_unique` rows are live; fetching the whole padding wastes
+    device->host bandwidth (through this repo's tunnel it dominates the
+    device engine's wall time; on a pod it is still PCIe traffic per
+    host).  Two round trips: the n_unique scalar, then a prefix slice
+    whose static size is n_unique rounded up to a power of two (>=256) so
+    the slice program compiles once per size bucket, not per value.
+
+    Returns host numpy arrays (words [n, W], lengths [n], counts [n], n).
+    """
+    n = int(jax.device_get(n_unique))
+    total = u_words.shape[0]
+    if n > total:
+        raise ValueError(
+            f"count table overflow: {n} unique keys but only {total} "
+            f"output rows (n_out too small)")
+    c = min(total, max(256, 1 << max(n - 1, 0).bit_length()))
+    import numpy as np
+
+    w, lens, cnts = jax.device_get(
+        _table_prefix(u_words, u_lengths, u_counts, c))
+    return (np.asarray(w)[:n], np.asarray(lens)[:n],
+            np.asarray(cnts)[:n], n)
+
+
 def counts_to_host_scattered(u_words, u_lengths, u_counts):
     """Like counts_to_host for tables whose live rows are NOT contiguous
     (e.g. the bucketed-exchange merge gathers per-device compact tables
@@ -143,30 +178,13 @@ def counts_to_host(u_words, u_lengths, u_counts, n_unique):
     """Device count table -> list of ((length, blocks tuple), count) on host.
 
     Blocks are reference uint64 values (lane pair 2b, 2b+1 fused), ready for
-    the Counter materialization in api.counter.
+    the Counter materialization in api.counter.  Only the live prefix is
+    transferred (fetch_table); a caller-supplied n_out smaller than the true
+    unique count raises instead of silently dropping keys (unique_count's
+    scatters use mode="drop").
     """
-    import numpy as np
-
-    # Transfer the full padded arrays and slice on host: device-slicing by
-    # the data-dependent n_unique would compile a fresh XLA program per
-    # distinct value, which dwarfs the copy cost for these tables.  One
-    # device_get for everything: round trips through a tunneled runtime
-    # cost tens of ms each.
-    import jax
-
-    u_words, u_lengths, u_counts, n_unique = jax.device_get(
-        (u_words, u_lengths, u_counts, n_unique))
-    n = int(n_unique)
-    if n > len(np.asarray(u_lengths)):
-        # A caller-supplied n_out smaller than the true unique count would
-        # otherwise silently drop keys (unique_count's scatters use
-        # mode="drop"); n_unique counts every real group, so this is
-        # detectable exactly.
-        raise ValueError(
-            f"count table overflow: {n} unique keys but only "
-            f"{len(np.asarray(u_lengths))} output rows (n_out too small)")
-    return _rows_to_table(np.asarray(u_words)[:n], np.asarray(u_lengths)[:n],
-                          np.asarray(u_counts)[:n])
+    w, lens, cnts, _n = fetch_table(u_words, u_lengths, u_counts, n_unique)
+    return _rows_to_table(w, lens, cnts)
 
 
 def _rows_to_table(w, lens, cnts):

@@ -164,6 +164,39 @@ class TestCountEngines:
         assert {str(k): v for k, v in host.items()} == \
             dict(collections.Counter(reads))
 
+    def test_device_engine_streaming_chunks(self, tmp_path, rng):
+        """The chunked device ingest (batch_size smaller than the file, so
+        several device_put'd chunks concatenate into one per-bucket sort)
+        must produce the same table as the oracle."""
+        from shortseq_tpu.api.counter import count_indexed_device
+        from shortseq_tpu.io.fastq import read_fastq_index
+
+        path, reads = self._mixed_file(tmp_path, rng)
+        data, starts, lengths = read_fastq_index(str(path))
+        counts = count_indexed_device(data, starts, lengths, batch_size=64)
+        oracle = collections.Counter(reads)
+        assert {str(k): v for k, v in counts.items()} == dict(oracle)
+
+    def test_fetch_table_prefix(self):
+        """fetch_table returns exactly the live prefix, for n_unique around
+        the 256 / power-of-two slice-bucket edges."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from shortseq_tpu.count.device import fetch_table, unique_count
+
+        for n_unique in (1, 255, 256, 257, 300):
+            n = 1024
+            words = (np.arange(n, dtype=np.uint32) % n_unique).reshape(n, 1)
+            lengths = np.full(n, 16, np.int32)
+            t = unique_count(jnp.asarray(words), jnp.asarray(lengths),
+                             jnp.ones(n, jnp.int32))
+            w, lens, cnts, m = fetch_table(*t)
+            assert m == n_unique
+            assert w.shape == (n_unique, 1)
+            assert (w[:, 0] == np.arange(n_unique)).all()
+            assert int(cnts.sum()) == n
+
     def test_host_count_native_parity(self, rng):
         import numpy as np
 
