@@ -50,13 +50,17 @@ def slope_time(loop, args, rounds=5, k_lo=K_LO, k_hi=K_HI):
     hamming bench at k_hi=40 "measured" 2.9x the HBM roofline)."""
     k_span = k_hi - k_lo
     k_lo, k_hi = jnp.int32(k_lo), jnp.int32(k_hi)
-    jax.block_until_ready(loop(*args, k_hi))  # compile + warm
+    # Fetch-forced sync: on this tunneled runtime block_until_ready can
+    # return before execution finishes; device_get of the loop-carried
+    # scalar cannot.  The extra ~29 ms round trip is a fixed cost the
+    # slope cancels.
+    jax.device_get(loop(*args, k_hi))  # compile + warm
     t_lo = t_hi = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(*args, k_lo))
+        jax.device_get(loop(*args, k_lo))
         t1 = time.perf_counter()
-        jax.block_until_ready(loop(*args, k_hi))
+        jax.device_get(loop(*args, k_hi))
         t2 = time.perf_counter()
         t_lo = min(t_lo, t1 - t0)
         t_hi = min(t_hi, t2 - t1)
@@ -64,49 +68,80 @@ def slope_time(loop, args, rounds=5, k_lo=K_LO, k_hi=K_HI):
 
 
 def bench_pack(n=1 << 18, width=160, k0=8):
-    """Fused pack + bloom-validate per pass over an [n, width] slice (u32
-    device-native layout, ops/bitpack.py)."""
-    from shortseq_tpu.ops.bitpack import pack_and_validate_u32
+    """Fused pack + bloom-validate per pass over an [n, width] slice - the
+    production row-folded kernel (ops.bitpack.pack_and_validate_folded,
+    what pack_and_validate_rows dispatches for host batches)."""
+    from shortseq_tpu.ops.bitpack import fold_for, pack_and_validate_folded
 
-    mat, lens = _make_batch(k0 * n, width)
-    big = jnp.asarray(mat.view(np.uint32))
-    lengths = jnp.asarray(lens[:n])
     w4 = width // 4
+    fold = fold_for(w4, n)
+    mat, lens = _make_batch(k0 * n, width)
+    big = jnp.asarray(mat.view(np.uint32).reshape(k0 * n // fold, fold * w4))
+    lengths_f = jnp.asarray(lens[:n].reshape(n // fold, fold))
+    nf = n // fold
 
     @jax.jit
-    def loop(x_all, lengths, k):
+    def loop(x_all, lengths_f, k):
         def body(i, acc):
-            x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * n, n, 0)
-            w, ok = pack_and_validate_u32(x, lengths)
+            x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * nf, nf, 0)
+            w, ok = pack_and_validate_folded(x, lengths_f, w4, unfold=False)
             # XOR fold blocks reduce(dot) -> dot(reduce) rewrites (see
             # bench_pack_only).
             return (acc ^ jnp.bitwise_xor.reduce(w.ravel())
                     ^ jnp.sum(ok).astype(jnp.uint32))
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
-    dt = slope_time(loop, (big, lengths))
+    # 42 MB/pass: k_hi=104 keeps the slope's work delta ~4 GB >> jitter.
+    dt = slope_time(loop, (big, lengths_f), k_hi=104)
     return n * width / dt
 
 
 def bench_pack_only(n=1 << 18, width=160, k0=8):
-    """Pack without the validation read (pure construction)."""
-    from shortseq_tpu.ops.bitpack import pack_words_u32
+    """Pack without validation (the from_matrix construction path):
+    pack-only folded kernel at its larger fold (ops.bitpack.pack_rows
+    dispatch)."""
+    from shortseq_tpu.ops.bitpack import fold_for, pack_folded
 
+    w4 = width // 4
+    fold = fold_for(w4, n, target_lanes=512)
     mat, _ = _make_batch(k0 * n, width)
-    big = jnp.asarray(mat.view(np.uint32))
+    big = jnp.asarray(mat.view(np.uint32).reshape(k0 * n // fold, fold * w4))
+    nf = n // fold
 
     @jax.jit
     def loop(x_all, k):
         def body(i, acc):
-            x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * n, n, 0)
-            w = pack_words_u32(x)
+            x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * nf, nf, 0)
+            w = pack_folded(x, w4, unfold=False)
             # XOR fold, not a plain sum: XLA's algebraic simplifier can
             # rewrite reduce(dot(...)) into dot(reduce(...)) and skip the
             # pack entirely (observed: "2.4 T nt/s", 2.5x the HBM roofline).
             return acc ^ jnp.bitwise_xor.reduce(w.ravel())
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
-    dt = slope_time(loop, (big,))
+    dt = slope_time(loop, (big,), k_hi=104)
+    return n * width / dt
+
+
+def bench_pack_unfolded(n=1 << 18, width=160, k0=8):
+    """The pre-fold formulation (pack_and_validate_u32 on [n, w4] rows),
+    kept for regression context."""
+    from shortseq_tpu.ops.bitpack import pack_and_validate_u32
+
+    mat, lens = _make_batch(k0 * n, width)
+    big = jnp.asarray(mat.view(np.uint32))
+    lengths = jnp.asarray(lens[:n])
+
+    @jax.jit
+    def loop(x_all, lengths, k):
+        def body(i, acc):
+            x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * n, n, 0)
+            w, ok = pack_and_validate_u32(x, lengths)
+            return (acc ^ jnp.bitwise_xor.reduce(w.ravel())
+                    ^ jnp.sum(ok).astype(jnp.uint32))
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    dt = slope_time(loop, (big, lengths))
     return n * width / dt
 
 
@@ -284,6 +319,7 @@ def main():
     nt_per_s = _try(bench_pack)
     extra = {
         "pack_only_nt_per_s": _try(bench_pack_only),
+        "pack_unfolded_nt_per_s": _try(bench_pack_unfolded),
         "raw_stream_bytes_per_s": _try(bench_raw_stream),
         "hamming_pairs_per_s": _try(bench_hamming),
         "pairwise_hamming_pairs_per_s": _try(bench_pairwise),

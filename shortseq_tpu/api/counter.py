@@ -128,7 +128,7 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     from ..count.device import PAD_LENGTH, fetch_table
     from ..count.ingest import WIDTH_EDGES
     from ..oracle import first_invalid_char
-    from ..ops.bitpack import pack_and_validate_u32
+    from ..ops.bitpack import pack_and_validate_rows
     from ..utils.warmup import start_transfer_warmup
 
     # This pipeline fetches device results; overlap the one-time d2h
@@ -156,9 +156,8 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
                              constant_values=PAD_LENGTH)
         # Pad rows validate with length 0 (all-zero rows are vacuously ok).
         val_len = np.where(sub_len == PAD_LENGTH, 0, sub_len).astype(np.int32)
-        words, ok = pack_and_validate_u32(
-            jnp.asarray(np.ascontiguousarray(rows).view(np.uint32)),
-            jnp.asarray(val_len))
+        words, ok = pack_and_validate_rows(
+            np.ascontiguousarray(rows).view(np.uint32), val_len)
         ok = np.asarray(ok)[:m]
         if not ok.all():
             bad_idx = int(np.argmin(ok))

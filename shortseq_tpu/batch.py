@@ -97,15 +97,14 @@ class PackedBatch:
         """Pack a list of str/bytes, validating every base on device and
         raising the reference's error (short_seq_64.pyx:105) on failure."""
         from .oracle import first_invalid_char
-        from .ops.bitpack import pack_and_validate_u32
+        from .ops.bitpack import pack_and_validate_rows
         from .utils.warmup import start_transfer_warmup
 
         mat, lengths = _ascii_matrix(seqs, width)
         if len(seqs) == 0:
             return cls(jnp.zeros((0, 1), jnp.uint32), jnp.asarray(lengths))
         start_transfer_warmup()
-        words, ok = pack_and_validate_u32(
-            jnp.asarray(mat.view(np.uint32)), jnp.asarray(lengths))
+        words, ok = pack_and_validate_rows(mat.view(np.uint32), lengths)
         ok = np.asarray(ok)
         if not ok.all():
             i = int(np.argmin(ok))
@@ -117,11 +116,12 @@ class PackedBatch:
     def from_matrix(cls, mat, lengths) -> "PackedBatch":
         """Pack an already-padded uint8 ASCII matrix (e.g. straight from
         io.read_fastq_matrix) without validation.  The device receives the
-        matrix as its uint32 view (same bytes, no relayout on device)."""
-        from .ops.bitpack import pack_words_u32
+        matrix as its uint32 view (same bytes, no relayout on device),
+        row-folded for full-tile HBM traffic (ops.bitpack.pack_rows)."""
+        from .ops.bitpack import pack_rows
 
         mat = np.ascontiguousarray(mat, np.uint8)
-        return cls(pack_words_u32(jnp.asarray(mat.view(np.uint32))),
+        return cls(pack_rows(mat.view(np.uint32)),
                    jnp.asarray(lengths, dtype=jnp.int32))
 
     # -- shape ---------------------------------------------------------------

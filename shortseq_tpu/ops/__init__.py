@@ -8,6 +8,11 @@ from .bitpack import (
     first_bad_byte_u32,
     pack_and_validate,
     pack_and_validate_u32,
+    pack_and_validate_folded,
+    pack_and_validate_rows,
+    pack_folded,
+    pack_rows,
+    fold_for,
     collapse_xor,
 )
 from .hamming import hamming_rows, hamming_pairwise

@@ -37,6 +37,22 @@ Design (TPU-first, not a translation of the reference's BMI2 pext tricks):
   (c >> 1) & 3 exactly as the reference's table does - so the scalar
   object layer (oracle.is_base, csrc encode_into) and this device path
   agree on all 256 byte values (round-1 VERDICT item 4).
+
+* Row folding: a `[N, W4]` uint32 operand with W4 < 128 occupies
+  (8, 128)-tiled memory with the lane dim padded to 128, so every HBM
+  pass moves up to 16x the logical bytes (W4 = 8 for the 32-nt bucket).
+  `pack_and_validate_rows` folds F consecutive rows into one
+  ([N/F, F*W4], a free host-side reshape) so tiles are full; the
+  compaction matrix becomes block-diagonal (still one dot), per-lane
+  lengths broadcast through a constant dot, and the per-row bad-byte
+  reduction is a third dot with a tiny output.  Measured on v5e: folded
+  pack-only reaches ~550-880 G nt/s (HBM speed of light for 1 B/nt read
+  + 0.25 B/nt write is ~880; raw stream 1105 GB/s) vs ~294 unfolded,
+  and fused pack+validate ~300 vs ~200 unfolded.  Measurement rule
+  learned the hard way: each DISTINCT big dot operand costs one full
+  read of the input (operands fuse into reads; outputs materialize),
+  so formulations with one big operand win - see benchmarks/pack_fold.py
+  and docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -143,22 +159,17 @@ def _byte_ok(c: jax.Array) -> jax.Array:
     return (hit == 1) & ((c & jnp.uint32(32)) == 0)
 
 
-def _invalid_mask_u32(x_u32: jax.Array, lengths: jax.Array):
-    """Per-byte bloom validity over the u32-viewed ASCII matrix.  Yields
-    (positions `[N, W4, 4]`-ish as per-k pairs) lazily per byte slot to
-    keep everything fused elementwise."""
-    n, w4 = x_u32.shape
-    lane_pos = jax.lax.broadcasted_iota(jnp.int32, (n, w4), 1)
-    for k in range(4):
-        c = (x_u32 >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
-        pos = 4 * lane_pos + k
-        bad = ~_byte_ok(c) & (pos < lengths[:, None])
-        yield pos, bad
+def _eqz(y: jax.Array) -> jax.Array:
+    # Exact per-byte zero test: bit 7 of each byte set iff the byte is
+    # zero.  (y & 0x7F) + 0x7F sets bit 7 iff the low 7 bits are
+    # nonzero; | y catches bit 7 itself; no cross-byte carries.
+    return ~(((y & jnp.uint32(0x7F7F7F7F)) + jnp.uint32(0x7F7F7F7F))
+             | y) & jnp.uint32(0x80808080)
 
 
-def validate_u32(x_u32: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Per-row validity mask: True iff every byte before the row's length
-    passes the reference bloom filter.
+def _bloom_fail_bits(x_u32: jax.Array) -> jax.Array:
+    """0x80 bit per byte that fails the reference bloom (is not one of
+    the 4 pass values of (c & 63)).
 
     SWAR formulation: all 4 bytes of a lane are tested at once with exact
     per-byte zero tests against the 4 pass values - no per-byte variable
@@ -166,39 +177,49 @@ def validate_u32(x_u32: jax.Array, lengths: jax.Array) -> jax.Array:
     (measured ~800 G nt/s standalone on v5e vs ~460 for the shift
     formulation; benchmarks/pack_variants.py)."""
     m = x_u32 & jnp.uint32(0x3F3F3F3F)            # (c & 63) per byte
+    ok_b = (_eqz(m ^ jnp.uint32(0x01010101))       # 'A' & 63
+            | _eqz(m ^ jnp.uint32(0x03030303))     # 'C' & 63
+            | _eqz(m ^ jnp.uint32(0x07070707))     # 'G' & 63
+            | _eqz(m ^ jnp.uint32(0x14141414)))    # 'T' & 63
+    return ~ok_b & jnp.uint32(0x80808080)
 
-    def eqz(y):
-        # Exact per-byte zero test: bit 7 of each byte set iff the byte is
-        # zero.  (y & 0x7F) + 0x7F sets bit 7 iff the low 7 bits are
-        # nonzero; | y catches bit 7 itself; no cross-byte carries.
-        return ~(((y & jnp.uint32(0x7F7F7F7F)) + jnp.uint32(0x7F7F7F7F))
-                 | y) & jnp.uint32(0x80808080)
 
-    ok_b = (eqz(m ^ jnp.uint32(0x01010101))        # 'A' & 63
-            | eqz(m ^ jnp.uint32(0x03030303))      # 'C' & 63
-            | eqz(m ^ jnp.uint32(0x07070707))      # 'G' & 63
-            | eqz(m ^ jnp.uint32(0x14141414)))     # 'T' & 63
-    n, w4 = x_u32.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n, w4), 1)
-    rem = jnp.clip(lengths[:, None] - 4 * lane, 0, 4)  # bytes in range
-    mask = jnp.where(
+def _tail_mask(rem: jax.Array) -> jax.Array:
+    """0x80 bit per byte slot that is before the row's length, from the
+    per-lane remaining-byte count rem = clip(length - 4*lane, 0, 4)."""
+    return jnp.where(
         rem >= 4, jnp.uint32(0x80808080),
         jnp.where(rem == 3, jnp.uint32(0x00808080),
                   jnp.where(rem == 2, jnp.uint32(0x00008080),
                             jnp.where(rem == 1, jnp.uint32(0x00000080),
                                       jnp.uint32(0)))))
-    bad = (~ok_b) & mask
+
+
+def validate_u32(x_u32: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Per-row validity mask: True iff every byte before the row's length
+    passes the reference bloom filter (bytes at and past the length are
+    padding and are ignored, like the reference's marshalling loops that
+    never read them, util.pyx:78-94)."""
+    n, w4 = x_u32.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, w4), 1)
+    rem = jnp.clip(lengths[:, None] - 4 * lane, 0, 4)  # bytes in range
+    bad = _bloom_fail_bits(x_u32) & _tail_mask(rem)
     return ~jnp.any(bad != 0, axis=1)
 
 
 def first_bad_byte_u32(x_u32: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Per-row index of the first bloom-failing byte (or 4*W4 if none).
-    Lets the host raise the reference's exact per-character message
-    (short_seq_64.pyx:105) from batched validation."""
+    """Per-row index of the first bloom-failing byte before the row's
+    length (or 4*W4 if none).  Lets the host raise the reference's exact
+    per-character message (short_seq_64.pyx:105) from batched
+    validation."""
     n, w4 = x_u32.shape
     big = jnp.int32(4 * w4)
     first = jnp.full((n,), big, jnp.int32)
-    for pos, bad in _invalid_mask_u32(x_u32, lengths):
+    lane_pos = jax.lax.broadcasted_iota(jnp.int32, (n, w4), 1)
+    for k in range(4):
+        c = (x_u32 >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+        pos = 4 * lane_pos + k
+        bad = ~_byte_ok(c) & (pos < lengths[:, None])
         first = jnp.minimum(first, jnp.min(jnp.where(bad, pos, big), axis=1))
     return first
 
@@ -218,6 +239,154 @@ def collapse_xor(c: jax.Array) -> jax.Array:
     straddle a lane boundary, so the per-uint32 collapse is bit-identical to
     the reference's per-uint64 collapse (short_seq_64.pyx:83)."""
     return ((c >> 1) | c) & jnp.uint32(0x55555555)
+
+
+@functools.lru_cache(maxsize=None)
+def _folded_mats(w4: int, fold: int):
+    """Constants for the folded one-dot pack and the per-row validity:
+
+    * pack `[fold*w4, 2*fold*w]` block-diagonal: columns [0, fw) carry the
+      low 16 bits of each output lane (b0 + 256*b1), columns [fw, 2fw) the
+      high (b2 + 256*b3);
+    * spread `[fold, fold*w4]`: 0/1 broadcasting per-logical-row lengths
+      to each row's lanes;
+    * collect `[fold*w4, fold]` (= spread.T): sums bad-lane indicators
+      per logical row;
+    * lane_in_row `[fold*w4]`: each lane's index within its logical row.
+    """
+    w = w4 // 4
+    fw = fold * w
+    p = np.zeros((fold * w4, 2 * fw), np.float32)
+    spread = np.zeros((fold, fold * w4), np.float32)
+    for f in range(fold):
+        for j in range(w):
+            p[f * w4 + 4 * j + 0, f * w + j] = 1.0
+            p[f * w4 + 4 * j + 1, f * w + j] = 256.0
+            p[f * w4 + 4 * j + 2, fw + f * w + j] = 1.0
+            p[f * w4 + 4 * j + 3, fw + f * w + j] = 256.0
+        spread[f, f * w4:(f + 1) * w4] = 1.0
+    lane_in_row = np.tile(np.arange(w4, dtype=np.float32), fold)
+    return p, spread, lane_in_row
+
+
+def fold_for(w4: int, n: int, target_lanes: int = 128) -> int:
+    """Row-fold factor for a `[n, w4]` host batch: enough folded lanes to
+    fill the 128-lane tiles, a power of two so the pow2-padded batch dims
+    of every production caller divide evenly.
+
+    Measured optima differ by op (benchmarks/pack_fold.py, fetch-forced):
+    fused pack+validate peaks near 128 folded lanes (two big dot operands
+    - more fold raises VMEM pressure with no traffic win), pack-only
+    keeps gaining to ~512 lanes (one operand; 1184 G nt/s at w4=8 f=64).
+    """
+    if w4 >= target_lanes or n <= 0:
+        return 1
+    fold = 1
+    while fold * w4 < target_lanes and fold < 64:
+        fold *= 2
+    while fold > 1 and n % fold:
+        fold //= 2
+    return fold
+
+
+@functools.partial(jax.jit, static_argnames=("w4", "unfold"))
+def pack_and_validate_folded(x_f: jax.Array, lengths_f: jax.Array,
+                             w4: int, unfold: bool = True):
+    """Fused pack + validate on a row-folded batch.
+
+    Args:
+      x_f:       `[N/F, F*w4]` uint32 - F consecutive logical rows per
+                 physical row (host-side `mat.reshape(n // F, F * w4)` of
+                 the `[N, w4]` uint32 view; free).
+      lengths_f: `[N/F, F]` int32 logical row lengths.
+      w4:        lanes per logical row (static).
+      unfold:    return `[N, w4/4]` words and `[N]` ok (reshape inside the
+                 same program) instead of the folded layouts.
+
+    The 4:1 compaction is one bf16 dot against a block-diagonal constant
+    (exact: products are 8-bit ints times powers of two, f32-accumulated,
+    sums < 2^24).  Validation keeps the length-mask semantics by
+    broadcasting lengths to lanes with a constant f32 dot (f32 because
+    lengths up to 1024 exceed bf16's mantissa) and reducing bad-lane
+    indicators per logical row with a third dot whose output is tiny.
+    """
+    nf, lanes = x_f.shape
+    fold = lanes // w4
+    words = _pack_folded_raw(x_f, w4)
+    _, spread, lane_in_row = _folded_mats(w4, fold)
+    dn = (((1,), (0,)), ((), ()))
+    len_lane = jax.lax.dot_general(
+        lengths_f.astype(jnp.float32), jnp.asarray(spread, jnp.float32), dn,
+        preferred_element_type=jnp.float32)
+    rem = jnp.clip(len_lane - 4.0 * jnp.asarray(lane_in_row)[None, :],
+                   0.0, 4.0).astype(jnp.int32)
+    badf = ((_bloom_fail_bits(x_f) & _tail_mask(rem)) != 0) \
+        .astype(jnp.bfloat16)
+    badrow = jax.lax.dot_general(
+        badf, jnp.asarray(spread.T, jnp.bfloat16), dn,
+        preferred_element_type=jnp.float32)
+    ok = badrow == 0.0
+    if unfold:
+        return words.reshape(nf * fold, w4 // 4), ok.reshape(nf * fold)
+    return words, ok
+
+
+def _pack_folded_raw(x_f: jax.Array, w4: int) -> jax.Array:
+    """Folded one-dot pack body: `[N/F, F*w4]` uint32 -> `[N/F, F*w4/4]`
+    packed lanes (low 16-bit halves from the first fw dot columns, high
+    from the rest)."""
+    nf, lanes = x_f.shape
+    fold = lanes // w4
+    fw = fold * (w4 // 4)
+    p, _, _ = _folded_mats(w4, fold)
+    dn = (((1,), (0,)), ((), ()))
+    b = _codes_byte(x_f).astype(jnp.bfloat16)
+    r = jax.lax.dot_general(b, jnp.asarray(p, jnp.bfloat16), dn,
+                            preferred_element_type=jnp.float32)
+    return (r[:, :fw].astype(jnp.uint32)
+            | (r[:, fw:].astype(jnp.uint32) << 16))
+
+
+@functools.partial(jax.jit, static_argnames=("w4", "unfold"))
+def pack_folded(x_f: jax.Array, w4: int, unfold: bool = True):
+    """Pack without validation on a row-folded batch (the from_matrix /
+    pre-validated construction path).  One big dot operand, so larger
+    folds keep winning - pair with fold_for(w4, n, target_lanes=512)."""
+    nf, lanes = x_f.shape
+    fold = lanes // w4
+    words = _pack_folded_raw(x_f, w4)
+    if unfold:
+        return words.reshape(nf * fold, w4 // 4)
+    return words
+
+
+def pack_rows(mat_u32: np.ndarray) -> jax.Array:
+    """Host entry for unvalidated construction: numpy `[N, w4]` uint32
+    view -> device `[N, w4/4]` packed lanes, row-folded to ~512 lanes
+    (measured 1184 G nt/s at w4=8 on this chip, benchmarks/pack_fold.py;
+    the reshapes are free host views)."""
+    n, w4 = mat_u32.shape
+    fold = fold_for(w4, n, target_lanes=512)
+    if fold == 1:
+        return pack_words_u32(jnp.asarray(mat_u32))
+    return pack_folded(
+        jnp.asarray(mat_u32.reshape(n // fold, fold * w4)), w4)
+
+
+def pack_and_validate_rows(mat_u32: np.ndarray, lengths: np.ndarray):
+    """Host entry for the hot construction path (SURVEY 3.1): numpy
+    `[N, w4]` uint32 view + `[N]` lengths -> device (`[N, w4/4]` words,
+    `[N]` ok), row-folded for full-tile HBM traffic when the batch shape
+    allows it.  The reshapes here are free host views."""
+    n, w4 = mat_u32.shape
+    fold = fold_for(w4, n)
+    if fold == 1:
+        return pack_and_validate_u32(jnp.asarray(mat_u32),
+                                     jnp.asarray(lengths))
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    return pack_and_validate_folded(
+        jnp.asarray(mat_u32.reshape(n // fold, fold * w4)),
+        jnp.asarray(lengths.reshape(n // fold, fold)), w4)
 
 
 @jax.jit

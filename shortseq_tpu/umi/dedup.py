@@ -41,7 +41,7 @@ def _pack_validate_umis(uniq):
     import jax.numpy as jnp
 
     from ..constants import UNSUPPORTED_BASE_MSG
-    from ..ops.bitpack import pack_and_validate
+    from ..ops.bitpack import pack_and_validate_rows
     from ..utils.warmup import start_transfer_warmup
 
     for u in uniq:
@@ -54,7 +54,7 @@ def _pack_validate_umis(uniq):
     for i, u in enumerate(uniq):
         mat[i, :len(u)] = np.frombuffer(u, np.uint8)
         lengths[i] = len(u)
-    words, ok = pack_and_validate(jnp.asarray(mat), jnp.asarray(lengths))
+    words, ok = pack_and_validate_rows(mat.view(np.uint32), lengths)
     ok = np.asarray(ok)
     if not ok.all():
         bad = uniq[int(np.argmin(ok))].decode("ascii", "replace")

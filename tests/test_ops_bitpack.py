@@ -102,10 +102,66 @@ def test_first_bad_byte():
 
 
 def test_padding_is_not_validated():
-    # Bytes past the row length are padding and must not affect validity.
+    # Bytes past the row length are padding and must not affect validity
+    # (the reference's marshalling loops never read them, util.pyx:78-94);
+    # an interior NUL is before the length and fails the bloom.
     mat, lengths = to_matrix([b"ACGT"], 16)
     mat[0, 10] = ord("N")
     assert bool(np.asarray(validate(mat, lengths))[0])
+    nul = to_matrix([b"AC\x00T"], 16)[0]
+    assert not bool(np.asarray(validate(nul, lengths))[0])
+
+
+@pytest.mark.parametrize("width", [32, 96, 160, 1024])
+def test_folded_pack_matches_rows(rng, width):
+    """pack_and_validate_rows (row-folded kernel) must agree bit-for-bit
+    with the unfolded pack and the new-semantics validate for ragged
+    lengths, invalid bytes, interior NULs, and padding violations."""
+    import jax.numpy as jnp
+
+    from shortseq_tpu.ops.bitpack import (
+        fold_for,
+        pack_and_validate_rows,
+        pack_and_validate_u32,
+        pack_words_u32,
+        validate_u32,
+    )
+
+    n = 256
+    w4 = width // 4
+    fold = fold_for(w4, n)
+    assert n % fold == 0
+    assert fold == 1 if w4 >= 128 else fold * w4 >= 128
+    mat = np.zeros((n, width), np.uint8)
+    lengths = np.zeros(n, np.int32)
+    pyrng = rng
+    for i in range(n):
+        ln = pyrng.randint(0, width)
+        lengths[i] = ln
+        mat[i, :ln] = np.frombuffer(
+            rand_sequence(pyrng, ln).encode(), np.uint8)
+    # corruption: bloom-fail bytes, interior NULs, and nonzero padding
+    # (which the length-mask semantics must IGNORE)
+    for i in range(0, n, 17):
+        if lengths[i]:
+            mat[i, pyrng.randrange(lengths[i])] = ord("N")
+    for i in range(3, n, 31):
+        if lengths[i] > 2:
+            mat[i, 1] = 0
+    for i in range(5, n, 37):
+        if lengths[i] < width:
+            mat[i, width - 1] = ord("N")
+    u32 = np.ascontiguousarray(mat).view(np.uint32)
+    words, ok = pack_and_validate_rows(u32, lengths)
+    ref_w = np.asarray(pack_words_u32(jnp.asarray(u32)))
+    ref_ok = np.asarray(validate_u32(jnp.asarray(u32), jnp.asarray(lengths)))
+    assert (np.asarray(words) == ref_w).all()
+    assert (np.asarray(ok) == ref_ok).all()
+    assert not ref_ok.all() and ref_ok.any()
+    # odd batch size: fold_for must fall back to a dividing fold
+    words3, ok3 = pack_and_validate_rows(u32[:255], lengths[:255])
+    assert (np.asarray(words3) == ref_w[:255]).all()
+    assert (np.asarray(ok3) == ref_ok[:255]).all()
 
 
 @pytest.mark.parametrize("length", [1, 16, 31, 32, 33, 96, 97, 500, 1024])
