@@ -73,10 +73,11 @@ def umi_adjacency(words, lengths, threshold: int = 1) -> np.ndarray:
     return (dist <= threshold) & same_len
 
 
-# Per-row neighbour cap for the device-side top-k reduction.  UMI graphs
-# are sparse (neighbours = sequencing-error variants); rows exceeding the
-# cap fall back to a dense fetch of that row only.
-_NEIGHBOR_K = 128
+# Per-row neighbour cap for the device-side extraction.  UMI graphs are
+# sparse (neighbours = sequencing-error variants; measured max 4 on 100k
+# random 12-mers at threshold 1); rows exceeding the cap are re-derived
+# in one batched dense pass (_dense_rows_device).
+_NEIGHBOR_K = 8
 
 
 def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
@@ -85,7 +86,14 @@ def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
     indices: (idx [B, k] ascending, cnt [B] true neighbour count).  Only
     B*k indices + B counts cross the device->host boundary instead of the
     dense B*U distance slab - at U = 100k uniques that is the difference
-    between ~40 GB and ~50 MB of fetch traffic for the whole matrix."""
+    between ~40 GB and ~5 MB of fetch traffic for the whole matrix.
+
+    Extraction is k rounds of (row-max, clear), NOT lax.top_k: scores are
+    the distinct values U - col, so the row max alone recovers the
+    smallest remaining neighbour column and each round is one
+    bandwidth-bound pass over the slab.  top_k over 100k columns lowers
+    to a full per-row sort (measured 16.7 s for the whole matrix,
+    independent of k); eight max+clear passes cost well under a second."""
     import jax
     import jax.numpy as jnp
 
@@ -101,18 +109,76 @@ def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, u), 0) + row0
     adj = adj & (cols != rows)
     cnt = jnp.sum(adj, axis=1).astype(jnp.int32)
-    # Score = U - j for neighbours, 0 otherwise: top_k then yields
-    # neighbour columns in ascending order, zeros marking empty slots.
+    # Score = U - col for neighbours, 0 otherwise (all distinct per row).
     score = jnp.where(adj, u - cols, 0)
-    vals, idx = jax.lax.top_k(score, k)
-    return idx, vals > 0, cnt
+
+    def take(j, state):
+        score, idx = state
+        v = jnp.max(score, axis=1)                        # [B]
+        c = u - v                                         # col; u if empty
+        idx = jax.lax.dynamic_update_slice_in_dim(
+            idx, c[:, None].astype(jnp.int32), j, axis=1)
+        score = jnp.where(score == v[:, None], 0, score)  # clear the max
+        return score, idx
+
+    idx0 = jnp.full((b, k), u, jnp.int32)
+    _, idx = jax.lax.fori_loop(0, k, take, (score, idx0))
+    return idx, cnt
+
+
+def _dense_rows_device(sel_words, sel_lengths, sel_gids, sel_rows,
+                       words, lengths, gids, threshold: int):
+    """Dense adjacency for a fixed-size batch of overflow rows (rows whose
+    neighbour count exceeded _NEIGHBOR_K): one [P, U] bool fetch instead
+    of one tunnel round-trip per row."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pairwise_hamming_auto
+
+    u = words.shape[0]
+    dist = pairwise_hamming_auto(sel_words, words)
+    adj = (dist <= threshold) & (sel_lengths[:, None] == lengths[None, :])
+    adj = adj & (sel_gids[:, None] == gids[None, :])
+    cols = jax.lax.broadcasted_iota(jnp.int32, adj.shape, 1)
+    return adj & (cols != sel_rows[:, None])
+
+
+def _neighbor_all_device(words, lengths, gids, threshold: int, k: int,
+                         block: int):
+    """Whole adjacency in ONE compiled program: lax.map over row blocks,
+    each [block, U] distance slab reduced to top-k indices before the
+    next block starts.  One dispatch + one fetch for the entire matrix -
+    the per-block dispatch loop this replaces spent ~60 ms of tunnel
+    round-trips per block (~10-15 s at U = 100k) on ~1 ms of kernel
+    compute."""
+    import jax
+    import jax.numpy as jnp
+
+    u = words.shape[0]
+    nb = u // block
+
+    def body(i):
+        lo = i * block
+        aw = jax.lax.dynamic_slice_in_dim(words, lo, block, 0)
+        al = jax.lax.dynamic_slice_in_dim(lengths, lo, block, 0)
+        ag = jax.lax.dynamic_slice_in_dim(gids, lo, block, 0)
+        return _neighbor_block_device(aw, al, ag, words, lengths, gids,
+                                      lo, threshold, k)
+
+    idx, cnt = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))
+    return idx.reshape(u, k), cnt.reshape(u)
 
 
 _NEIGHBOR_STEP = None
+_DENSE_ROWS_STEP = None
+
+# Overflow rows are re-derived in fixed-size batches (one compile shape).
+_DENSE_ROWS_BATCH = 256
 
 
 def _neighbor_step():
-    """Process-wide jitted _neighbor_block_device: one compile cache per
+    """Process-wide jitted _neighbor_all_device: one compile cache per
     process, not per dedup call (each compile costs ~30-40 s through a
     tunneled chip).  Lazy so importing the package never initializes a
     jax backend (multi-host rule, dist/mesh.py)."""
@@ -120,58 +186,84 @@ def _neighbor_step():
     if _NEIGHBOR_STEP is None:
         import jax
 
-        _NEIGHBOR_STEP = jax.jit(_neighbor_block_device,
-                                 static_argnames=("threshold", "k"))
+        _NEIGHBOR_STEP = jax.jit(
+            _neighbor_all_device,
+            static_argnames=("threshold", "k", "block"))
     return _NEIGHBOR_STEP
+
+
+def _dense_rows_step():
+    global _DENSE_ROWS_STEP
+    if _DENSE_ROWS_STEP is None:
+        import jax
+
+        _DENSE_ROWS_STEP = jax.jit(_dense_rows_device,
+                                   static_argnames=("threshold",))
+    return _DENSE_ROWS_STEP
 
 
 def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
     """Sparse adjacency: neighbours[i] = indices j != i with
     hamming(i, j) <= threshold, equal lengths, and (optionally) equal
     group ids.  Each [block, U] distance slab is computed AND reduced on
-    device (top-k indices per row, _neighbor_block_device); host memory
-    and transfer are O(U * k + edges), never O(U^2)."""
+    device (per-row index extraction, _neighbor_block_device); host
+    memory and transfer are O(U * k + edges), never O(U^2)."""
     import jax
     import jax.numpy as jnp
-
-    from ..ops import hamming_pairwise
 
     u = len(lengths)
     lengths = np.asarray(lengths)
     if block is None:
         block = max(256, min(u, _PAIR_BUDGET // max(u, 1)))
     k = min(_NEIGHBOR_K, u)
-    words_d = jnp.asarray(words)
-    lengths_d = jnp.asarray(lengths.astype(np.int32))
+    # Pad the row count to a multiple of block with rows that match
+    # nothing (length -1); their neighbour lists come back empty and are
+    # sliced off below.
+    u_pad = -(-u // block) * block
+    words_np = np.asarray(words)
+    if u_pad != u:
+        words_np = np.pad(words_np, ((0, u_pad - u), (0, 0)))
+    lens_pad = np.full(u_pad, -1, np.int32)
+    lens_pad[:u] = lengths.astype(np.int32)
     gids_np = (np.asarray(gids).astype(np.int32) if gids is not None
                else np.zeros(u, np.int32))
-    gids_d = jnp.asarray(gids_np)
-    step = _neighbor_step()
+    gids_pad = np.zeros(u_pad, np.int32)
+    gids_pad[:u] = gids_np
+    words_d = jnp.asarray(words_np)
+    lengths_d = jnp.asarray(lens_pad)
+    gids_d = jnp.asarray(gids_pad)
+
+    idx, cnt = _neighbor_step()(
+        words_d, lengths_d, gids_d,
+        threshold=threshold, k=k, block=block)
+    idx, cnt = jax.device_get((idx, cnt))
+    idx = np.asarray(idx)[:u]
+    cnt = np.asarray(cnt)[:u]
+    # Empty slots carry the padded row count (max of the score encoding).
+    valid = idx < u_pad
 
     neighbors = [None] * u
-    for lo in range(0, u, block):
-        hi = min(u, lo + block)
-        idx, valid, cnt = step(
-            words_d[lo:hi], lengths_d[lo:hi], gids_d[lo:hi],
-            words_d, lengths_d, gids_d, jnp.int32(lo),
-            threshold=threshold, k=k)
-        idx, valid, cnt = jax.device_get((idx, valid, cnt))
-        idx = np.asarray(idx)
-        valid = np.asarray(valid)
-        cnt = np.asarray(cnt)
-        for r in range(hi - lo):
-            if cnt[r] <= k:
-                # top_k of (u - col) yields columns in ascending order.
-                neighbors[lo + r] = idx[r][valid[r]].copy()
-            else:
-                # Rare dense row (> k neighbours): fetch just this row.
-                row = np.asarray(hamming_pairwise(
-                    words_d[lo + r:lo + r + 1], words_d))[0]
-                ok = (row <= threshold) & (lengths == lengths[lo + r])
-                if gids is not None:
-                    ok &= gids_np == gids_np[lo + r]
-                nbr = np.flatnonzero(ok)
-                neighbors[lo + r] = nbr[nbr != lo + r]
+    for r in range(u):
+        # Max-extraction of score u - col yields columns ascending.
+        neighbors[r] = idx[r][valid[r]].copy()
+
+    # Rows with more than k neighbours (rare: k bounds error-variant
+    # fan-out) get their full adjacency row in fixed-size batches - one
+    # dispatch + one [P, U] bool fetch per batch, not one per row.
+    over = np.flatnonzero(cnt > k)
+    if over.size:
+        step = _dense_rows_step()
+        p = _DENSE_ROWS_BATCH
+        for lo in range(0, over.size, p):
+            sel = over[lo:lo + p]
+            sel_pad = np.zeros(p, np.int64)
+            sel_pad[:sel.size] = sel
+            adj = np.asarray(jax.device_get(step(
+                words_d[sel_pad], lengths_d[sel_pad], gids_d[sel_pad],
+                jnp.asarray(sel_pad.astype(np.int32)),
+                words_d, lengths_d, gids_d, threshold=threshold)))
+            for i, r in enumerate(sel):
+                neighbors[r] = np.flatnonzero(adj[i][:u])
     return neighbors
 
 
