@@ -289,6 +289,25 @@ def bench_end_to_end(n=1_000_000, engine="host"):
             os.unlink(path)
 
 
+def bench_umi_dedup(u=100_000, dup=3):
+    """Directional UMI dedup at production scale, total UMIs/s (wall,
+    warm-cache steady state; benchmarks/umi_scale.py has the validated
+    harness + adjacency spot-checks)."""
+    from shortseq_tpu.umi import dedup_umis
+
+    rng = np.random.default_rng(0)
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    mat = alphabet[rng.integers(0, 4, size=(u, 12))]
+    umis = [mat[i].tobytes() for i in range(u)] * dup
+    best = float("inf")
+    for _ in range(2):  # first run may pay in-process program loads
+        t0 = time.perf_counter()
+        labels, reps = dedup_umis(umis, threshold=1, method="directional")
+        best = min(best, time.perf_counter() - t0)
+    assert len(labels) == len(umis) and 0 < len(reps) <= u
+    return len(umis) / best
+
+
 def bench_dispatch(width=160, n=1 << 16):
     """Per-dispatch wall time for a small pack call - isolates the runtime
     dispatch/tunnel latency the slope benches cancel."""
@@ -329,6 +348,7 @@ def main():
                                             "host"),
         "end_to_end_device_reads_per_s": _try(bench_end_to_end, 1_000_000,
                                               "device"),
+        "umi_dedup_100k_umis_per_s": _try(bench_umi_dedup),
         "dispatch_latency_s": _try(bench_dispatch),
         "backend": _try(lambda: jax.devices()[0].platform),
     }

@@ -65,6 +65,7 @@ def main():
     import jax.numpy as jnp
     u = len(lengths)
     block = max(256, min(u, D._PAIR_BUDGET // max(u, 1)))
+    block = -(-block // 128) * 128  # mirror _neighbor_lists
     k = min(D._NEIGHBOR_K, u)
     u_pad = -(-u // block) * block
     wp = np.pad(words_np, ((0, u_pad - u), (0, 0))) if u_pad != u else words_np

@@ -44,16 +44,22 @@ def _pack_validate_umis(uniq):
     from ..ops.bitpack import pack_and_validate_rows
     from ..utils.warmup import start_transfer_warmup
 
-    for u in uniq:
-        if len(u) > MAX_64_NT:
-            raise ValueError("UMIs longer than 32 nt are not supported")
     start_transfer_warmup()
     width = 32
-    mat = np.zeros((len(uniq), width), np.uint8)
-    lengths = np.zeros(len(uniq), np.int32)
-    for i, u in enumerate(uniq):
-        mat[i, :len(u)] = np.frombuffer(u, np.uint8)
-        lengths[i] = len(u)
+    lengths = np.fromiter(map(len, uniq), np.int32, len(uniq))
+    if lengths.size and lengths.max() > MAX_64_NT:
+        raise ValueError("UMIs longer than 32 nt are not supported")
+    if lengths.size and lengths.min() == lengths.max():
+        # Fixed-length UMIs (the overwhelmingly common case): one
+        # concatenate + reshape instead of a 100k-iteration Python loop
+        # (measured 1.5 s at U = 100k).
+        mat = np.zeros((len(uniq), width), np.uint8)
+        mat[:, :lengths[0]] = np.frombuffer(
+            b"".join(uniq), np.uint8).reshape(len(uniq), lengths[0])
+    else:
+        mat = np.zeros((len(uniq), width), np.uint8)
+        for i, u in enumerate(uniq):
+            mat[i, :len(u)] = np.frombuffer(u, np.uint8)
     words, ok = pack_and_validate_rows(mat.view(np.uint32), lengths)
     ok = np.asarray(ok)
     if not ok.all():
@@ -88,12 +94,17 @@ def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
     dense B*U distance slab - at U = 100k uniques that is the difference
     between ~40 GB and ~5 MB of fetch traffic for the whole matrix.
 
-    Extraction is k rounds of (row-max, clear), NOT lax.top_k: scores are
-    the distinct values U - col, so the row max alone recovers the
-    smallest remaining neighbour column and each round is one
-    bandwidth-bound pass over the slab.  top_k over 100k columns lowers
-    to a full per-row sort (measured 16.7 s for the whole matrix,
-    independent of k); eight max+clear passes cost well under a second."""
+    Extraction is k rounds of hierarchical max, NOT lax.top_k: scores are
+    the distinct values U - col, so a row max alone recovers the smallest
+    remaining neighbour column.  top_k over 100k columns lowers to a full
+    per-row sort (measured 16.7 s for the whole matrix, independent of
+    k).  The score slab is pre-reduced once to per-128-column segment
+    maxima; each round then takes the global max from the [B, U/128]
+    segment table, re-scans only the 128-column segment it came from
+    (masking columns <= the taken one - extraction is ascending, so
+    earlier picks are always below the current column), and patches that
+    one segment maximum.  Slab traffic: ~2 passes total instead of
+    ~3 per round (measured 1.44 s -> 0.35 s for the 100k matrix)."""
     import jax
     import jax.numpy as jnp
 
@@ -112,17 +123,30 @@ def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
     # Score = U - col for neighbours, 0 otherwise (all distinct per row).
     score = jnp.where(adj, u - cols, 0)
 
+    seg = 128 if u % 128 == 0 else u
+    s_cnt = u // seg
+    score3 = score.reshape(b, s_cnt, seg)
+    seg_max = jnp.max(score3, axis=2)                     # [B, S]
+
     def take(j, state):
-        score, idx = state
-        v = jnp.max(score, axis=1)                        # [B]
+        seg_max, idx = state
+        v = jnp.max(seg_max, axis=1)                      # [B]
         c = u - v                                         # col; u if empty
         idx = jax.lax.dynamic_update_slice_in_dim(
             idx, c[:, None].astype(jnp.int32), j, axis=1)
-        score = jnp.where(score == v[:, None], 0, score)  # clear the max
-        return score, idx
+        s = jnp.minimum(c // seg, s_cnt - 1)              # clamp empty rows
+        segment = jnp.take_along_axis(
+            score3, s[:, None, None], axis=1)[:, 0]       # [B, seg]
+        within = s[:, None] * seg + jax.lax.broadcasted_iota(
+            jnp.int32, (b, seg), 1)
+        segment = jnp.where(within > c[:, None], segment, 0)
+        new_max = jnp.max(segment, axis=1)
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (b, s_cnt), 1)
+        seg_max = jnp.where(s_iota == s[:, None], new_max[:, None], seg_max)
+        return seg_max, idx
 
     idx0 = jnp.full((b, k), u, jnp.int32)
-    _, idx = jax.lax.fori_loop(0, k, take, (score, idx0))
+    _, idx = jax.lax.fori_loop(0, k, take, (seg_max, idx0))
     return idx, cnt
 
 
@@ -215,6 +239,9 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
     lengths = np.asarray(lengths)
     if block is None:
         block = max(256, min(u, _PAIR_BUDGET // max(u, 1)))
+        # Multiple of 128 so the padded column count segments evenly
+        # (the extraction pre-reduces over 128-column segments).
+        block = -(-block // 128) * 128
     k = min(_NEIGHBOR_K, u)
     # Pad the row count to a multiple of block with rows that match
     # nothing (length -1); their neighbour lists come back empty and are
