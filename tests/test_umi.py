@@ -234,3 +234,27 @@ class TestDedupReadsRegressions:
         assert sorted(map(sorted, part1.values())) == \
             sorted(map(sorted, part2.values()))
         assert sorted(m1) == sorted(m2)
+
+    @pytest.mark.parametrize("u", [127, 128, 129, 255, 257])
+    def test_neighbor_lists_segment_boundaries(self, u):
+        # The device extraction pre-reduces over 128-column segments; row
+        # counts straddling the segment width (and the block padding that
+        # rounds them up) must still reproduce the dense numpy adjacency.
+        import numpy as np
+
+        import shortseq_tpu.umi.dedup as dd
+
+        rng = np.random.default_rng(u)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        mat = alpha[rng.integers(0, 4, size=(u, 6))]
+        umis = [mat[i].tobytes() for i in range(u)]
+        words, lengths = dd._pack_validate_umis(umis)
+        words = np.asarray(words)
+        got = dd._neighbor_lists(words, lengths, threshold=1)
+
+        from shortseq_tpu.ops import hamming_pairwise
+
+        dense = np.asarray(hamming_pairwise(words, words))
+        for r in range(u):
+            want = set(np.flatnonzero(dense[r] <= 1)) - {r}
+            assert set(got[r]) == want, r
