@@ -361,13 +361,18 @@ static inline uint64_t hash_row(const uint32_t* row, int64_t wpr,
 // Count exact-duplicate rows: words [n, wpr] uint32 + lengths [n] ->
 // unique table (out_words [*, wpr], out_lengths, out_counts int64), first
 // occurrence order within each hash partition.  Caller allocates outputs
-// with capacity n rows.  Returns the number of unique rows.
+// with capacity n rows.  Returns the number of unique rows.  When
+// out_inverse is non-null it receives, per input row, the index of that
+// row's unique entry in the output table (the np.unique(return_inverse)
+// contract, at hash speed - the vectorized-grouping hook for UMI read
+// dedup).
 //
 // Partitioned by high hash bits so each thread owns a disjoint slice of
 // key space: no locks, deterministic counts.
-int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
-                       int64_t n, int64_t wpr, uint32_t* out_words,
-                       int32_t* out_lengths, int64_t* out_counts) {
+static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
+                               int64_t n, int64_t wpr, uint32_t* out_words,
+                               int32_t* out_lengths, int64_t* out_counts,
+                               int64_t* out_inverse) {
   if (n == 0) return 0;
   unsigned hw = std::thread::hardware_concurrency();
   int nthreads = 1;
@@ -397,6 +402,7 @@ int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
   struct Part {
     std::vector<int64_t> slot;    // row index of the unique occupant, or -1
     std::vector<int64_t> count;   // parallel to slot
+    std::vector<int64_t> ord;     // parallel to slot: local unique id
     std::vector<int64_t> uniq;    // occupied slot ids, insertion order
   };
   std::vector<Part> parts(nthreads);
@@ -414,6 +420,7 @@ int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
       while ((int64_t)cap < expect) cap <<= 1;
       P.slot.assign(cap, -1);
       P.count.assign(cap, 0);
+      P.ord.assign(cap, 0);
       uint64_t mask = cap - 1;
       for (int64_t i = 0; i < n; ++i) {
         uint64_t h = hashes[i];
@@ -425,6 +432,7 @@ int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
             if (P.uniq.size() * 2 >= cap) {  // grow: keep load factor < 1/2
               size_t ncap = cap * 2;
               std::vector<int64_t> nslot(ncap, -1), ncount(ncap, 0);
+              std::vector<int64_t> nord(ncap, 0);
               uint64_t nmask = ncap - 1;
               std::vector<int64_t> nuniq;
               nuniq.reserve(P.uniq.size() + 1);
@@ -434,10 +442,12 @@ int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
                 while (nslot[q] >= 0) q = (q + 1) & nmask;
                 nslot[q] = row;
                 ncount[q] = P.count[old_s];
+                nord[q] = P.ord[old_s];
                 nuniq.push_back((int64_t)q);
               }
               P.slot.swap(nslot);
               P.count.swap(ncount);
+              P.ord.swap(nord);
               P.uniq.swap(nuniq);
               cap = ncap;
               mask = nmask;
@@ -446,13 +456,16 @@ int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
             }
             P.slot[s] = i;
             P.count[s] = 1;
+            P.ord[s] = (int64_t)P.uniq.size();
             P.uniq.push_back((int64_t)s);
+            if (out_inverse) out_inverse[i] = P.ord[s];
             break;
           }
           if (hashes[occ] == h && lengths[occ] == lengths[i] &&
               memcmp(words + occ * wpr, words + i * wpr,
                      (size_t)wpr * 4) == 0) {
             ++P.count[s];
+            if (out_inverse) out_inverse[i] = P.ord[s];
             break;
           }
           s = (s + 1) & mask;
@@ -479,7 +492,37 @@ int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
       }
     });
   for (auto& th : writers) th.join();
+
+  if (out_inverse) {
+    // Local unique ids -> global output indices (partition base offsets).
+    std::vector<std::thread> fixers;
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t)
+      fixers.emplace_back([=, &hashes, &offs] {
+        int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+        for (int64_t i = lo; i < hi; ++i) {
+          int p = nthreads > 1 ? (int)(hashes[i] >> shift) : 0;
+          out_inverse[i] += offs[p];
+        }
+      });
+    for (auto& th : fixers) th.join();
+  }
   return offs[nthreads];
+}
+
+int64_t ssq_host_count(const uint32_t* words, const int32_t* lengths,
+                       int64_t n, int64_t wpr, uint32_t* out_words,
+                       int32_t* out_lengths, int64_t* out_counts) {
+  return host_count_impl(words, lengths, n, wpr, out_words, out_lengths,
+                         out_counts, nullptr);
+}
+
+int64_t ssq_host_count_inv(const uint32_t* words, const int32_t* lengths,
+                           int64_t n, int64_t wpr, uint32_t* out_words,
+                           int32_t* out_lengths, int64_t* out_counts,
+                           int64_t* out_inverse) {
+  return host_count_impl(words, lengths, n, wpr, out_words, out_lengths,
+                         out_counts, out_inverse);
 }
 
 }  // extern "C"

@@ -77,6 +77,9 @@ def get_lib():
         lib.ssq_host_count.restype = i64
         lib.ssq_host_count.argtypes = [p_u32, p_i32, i64, i64, p_u32, p_i32,
                                        p_i64]
+        lib.ssq_host_count_inv.restype = i64
+        lib.ssq_host_count_inv.argtypes = [p_u32, p_i32, i64, i64, p_u32,
+                                           p_i32, p_i64, p_i64]
         _lib = lib
         return _lib
 
@@ -199,12 +202,15 @@ def pack_rows_native(mat: np.ndarray, lengths: np.ndarray):
     return words
 
 
-def host_count_native(words: np.ndarray, lengths: np.ndarray):
+def host_count_native(words: np.ndarray, lengths: np.ndarray,
+                      return_inverse: bool = False):
     """Exact dedup of packed rows on the host: [N, W] uint32 + [N] int32 ->
-    (unique words [M, W], lengths [M] int32, counts [M] int64).  Threaded
-    partitioned hash count (csrc ssq_host_count) - the single-host engine
-    behind ShortSeqCounter when device transfer would dominate.  Returns
-    None when the native library is missing."""
+    (unique words [M, W], lengths [M] int32, counts [M] int64[, inverse
+    [N] int64]).  Threaded partitioned hash count (csrc ssq_host_count) -
+    the single-host engine behind ShortSeqCounter when device transfer
+    would dominate.  With return_inverse, inverse[i] is the output-table
+    index of input row i (the np.unique(return_inverse) contract at hash
+    speed).  Returns None when the native library is missing."""
     lib = get_lib()
     if lib is None:
         return None
@@ -214,6 +220,14 @@ def host_count_native(words: np.ndarray, lengths: np.ndarray):
     out_w = np.empty((n, wpr), dtype=np.uint32)
     out_l = np.empty(n, dtype=np.int32)
     out_c = np.empty(n, dtype=np.int64)
+    if return_inverse:
+        inverse = np.empty(n, dtype=np.int64)
+        m = lib.ssq_host_count_inv(
+            _as_ptr(words, ctypes.c_uint32), _as_ptr(lengths, ctypes.c_int32),
+            n, wpr, _as_ptr(out_w, ctypes.c_uint32),
+            _as_ptr(out_l, ctypes.c_int32), _as_ptr(out_c, ctypes.c_int64),
+            _as_ptr(inverse, ctypes.c_int64))
+        return out_w[:m].copy(), out_l[:m].copy(), out_c[:m].copy(), inverse
     m = lib.ssq_host_count(
         _as_ptr(words, ctypes.c_uint32), _as_ptr(lengths, ctypes.c_int32),
         n, wpr, _as_ptr(out_w, ctypes.c_uint32),

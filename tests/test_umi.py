@@ -258,3 +258,50 @@ class TestDedupReadsRegressions:
         for r in range(u):
             want = set(np.flatnonzero(dense[r] <= 1)) - {r}
             assert set(got[r]) == want, r
+
+    @pytest.mark.parametrize("len_3p", [0, 3])
+    def test_matrix_fast_path_matches_python_path(self, len_3p, monkeypatch):
+        # The vectorized uniform-length grouping must be bit-identical to
+        # the Python dict path: same labels, same molecule list (including
+        # first-occurrence ordering and count tie-breaks).
+        import numpy as np
+
+        import shortseq_tpu.umi.dedup as dd
+
+        rng = np.random.default_rng(9)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        mols = alpha[rng.integers(0, 4, size=(300, 15 + len_3p))]
+        idx = rng.integers(0, 300, size=5000)
+        reads = [mols[i].tobytes() for i in idx]
+
+        fast = dd.dedup_reads(reads, len_5p=5, len_3p=len_3p)
+        assert dd._unique_rows(np.zeros((2, 4), np.uint8)) is not None
+        monkeypatch.setattr(dd, "_unique_rows", lambda mat: None)
+        slow = dd.dedup_reads(reads, len_5p=5, len_3p=len_3p)
+        assert (fast[0] == slow[0]).all()
+        assert fast[1] == slow[1]
+
+    def test_umis_fast_path_matches_python_path(self, monkeypatch):
+        import numpy as np
+
+        import shortseq_tpu.umi.dedup as dd
+
+        rng = np.random.default_rng(11)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        pool = alpha[rng.integers(0, 4, size=(200, 10))]
+        umis = [pool[i].tobytes() for i in rng.integers(0, 200, size=3000)]
+
+        fast = dd.dedup_umis(umis, threshold=1, method="directional")
+        monkeypatch.setattr(dd, "_unique_rows", lambda mat: None)
+        slow = dd.dedup_umis(umis, threshold=1, method="directional")
+        assert (fast[0] == slow[0]).all()
+        assert fast[1] == slow[1]
+
+    def test_variable_length_umis_use_python_path(self):
+        # Mixed lengths skip the matrix path and must still work.
+        from shortseq_tpu.umi import dedup_umis
+
+        umis = [b"AAAA", b"AAA", b"AAAA", b"AAAT", b"AAA"]
+        labels, reps = dedup_umis(umis, threshold=1, method="cluster")
+        assert labels[0] == labels[2] == labels[3] != labels[1]
+        assert labels[1] == labels[4]
