@@ -27,8 +27,15 @@ _tried = False
 
 def _build() -> Path | None:
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    so_path = _CACHE_DIR / "libshortseq_io.so"
-    if so_path.exists() and so_path.stat().st_mtime >= _SRC.stat().st_mtime:
+    # Content-hashed cache key: mtime comparisons miss deployments that
+    # preserve timestamps (tar -x, rsync -a), which would bind a stale
+    # library missing newly added symbols and crash get_lib() instead of
+    # falling back.
+    import hashlib
+
+    src = _SRC.read_bytes()
+    so_path = _CACHE_DIR / f"libshortseq_io_{hashlib.sha256(src).hexdigest()[:16]}.so"
+    if so_path.exists():
         return so_path
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",

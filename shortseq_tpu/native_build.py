@@ -29,13 +29,19 @@ _tried = False
 
 
 def _so_path() -> Path:
+    # Content-hashed cache key, not mtime: timestamp-preserving deploys
+    # (tar -x, rsync -a) would otherwise revive a stale build whose symbol
+    # table no longer matches this source.
+    import hashlib
+
     tag = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    return _CACHE_DIR / f"_native{tag}"
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return _CACHE_DIR / f"_native_{digest}{tag}"
 
 
 def _build() -> Path | None:
     so = _so_path()
-    if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
+    if so.exists():
         return so
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     include = sysconfig.get_paths()["include"]

@@ -125,9 +125,12 @@ def umi_adjacency(words, lengths, threshold: int = 1) -> np.ndarray:
 
 # Per-row neighbour cap for the device-side extraction.  UMI graphs are
 # sparse (neighbours = sequencing-error variants; measured max 4 on 100k
-# random 12-mers at threshold 1); rows exceeding the cap are re-derived
-# in one batched dense pass (_dense_rows_device).
-_NEIGHBOR_K = 8
+# random 12-mers at threshold 1, but error-clustered libraries grow
+# variant fans up to 3L per unit of threshold); rows exceeding the cap
+# are re-extracted in batches with _OVERFLOW_K (fetch stays tiny), and
+# only rows beyond THAT (threshold >= 2 pathologies) pay a dense fetch.
+_NEIGHBOR_K = 16
+_OVERFLOW_K = 128
 
 
 def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
@@ -152,21 +155,44 @@ def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
     import jax
     import jax.numpy as jnp
 
+    b = a_words.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b,), 0) + row0
+    score, cnt = _adjacency_score(a_words, a_lengths, a_gids, rows,
+                                  words, lengths, gids, threshold)
+    return _extract_ascending(score, k), cnt
+
+
+def _adjacency_score(a_words, a_lengths, a_gids, a_rows, words, lengths,
+                     gids, threshold: int):
+    """Masked [B, U] adjacency -> (score, cnt): score is U - col for
+    neighbours (all distinct per row - the index-encoding trick the
+    extraction relies on), 0 otherwise; self edges excluded by the global
+    row ids in a_rows."""
+    import jax
+    import jax.numpy as jnp
+
     from ..ops import pairwise_hamming_auto
 
     u = words.shape[0]
     dist = pairwise_hamming_auto(a_words, words)          # [B, U]
     adj = (dist <= threshold) & (a_lengths[:, None] == lengths[None, :])
     adj = adj & (a_gids[:, None] == gids[None, :])
-    # Exclude self (global row index = row0 + local row).
     b = a_words.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, u), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, u), 0) + row0
-    adj = adj & (cols != rows)
+    adj = adj & (cols != a_rows[:, None])
     cnt = jnp.sum(adj, axis=1).astype(jnp.int32)
-    # Score = U - col for neighbours, 0 otherwise (all distinct per row).
     score = jnp.where(adj, u - cols, 0)
+    return score, cnt
 
+
+def _extract_ascending(score, k: int):
+    """Per-row ascending neighbour columns from an index-encoding score
+    matrix, via k rounds of hierarchical max (see _neighbor_block_device
+    docstring).  Empty slots hold U."""
+    import jax
+    import jax.numpy as jnp
+
+    b, u = score.shape
     seg = 128 if u % 128 == 0 else u
     s_cnt = u // seg
     score3 = score.reshape(b, s_cnt, seg)
@@ -191,25 +217,28 @@ def _neighbor_block_device(a_words, a_lengths, a_gids, words, lengths, gids,
 
     idx0 = jnp.full((b, k), u, jnp.int32)
     _, idx = jax.lax.fori_loop(0, k, take, (seg_max, idx0))
-    return idx, cnt
+    return idx
+
+
+def _overflow_block_device(sel_words, sel_lengths, sel_gids, sel_rows,
+                           words, lengths, gids, threshold: int, k: int):
+    """Re-extraction for a fixed-size batch of rows whose neighbour count
+    exceeded the main pass's cap: same hierarchical extraction at a larger
+    k ([P, k] indices ~ 100 KB fetched, vs a dense [P, U] slab ~ 26 MB at
+    U = 100k)."""
+    score, cnt = _adjacency_score(sel_words, sel_lengths, sel_gids,
+                                  sel_rows, words, lengths, gids, threshold)
+    return _extract_ascending(score, k), cnt
 
 
 def _dense_rows_device(sel_words, sel_lengths, sel_gids, sel_rows,
                        words, lengths, gids, threshold: int):
-    """Dense adjacency for a fixed-size batch of overflow rows (rows whose
-    neighbour count exceeded _NEIGHBOR_K): one [P, U] bool fetch instead
-    of one tunnel round-trip per row."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops import pairwise_hamming_auto
-
-    u = words.shape[0]
-    dist = pairwise_hamming_auto(sel_words, words)
-    adj = (dist <= threshold) & (sel_lengths[:, None] == lengths[None, :])
-    adj = adj & (sel_gids[:, None] == gids[None, :])
-    cols = jax.lax.broadcasted_iota(jnp.int32, adj.shape, 1)
-    return adj & (cols != sel_rows[:, None])
+    """Dense adjacency for a fixed-size batch of rows beyond even
+    _OVERFLOW_K neighbours (threshold >= 2 pathologies): one [P, U] bool
+    fetch instead of one tunnel round-trip per row."""
+    score, _ = _adjacency_score(sel_words, sel_lengths, sel_gids, sel_rows,
+                                words, lengths, gids, threshold)
+    return score > 0
 
 
 def _neighbor_all_device(words, lengths, gids, threshold: int, k: int,
@@ -239,6 +268,7 @@ def _neighbor_all_device(words, lengths, gids, threshold: int, k: int,
 
 
 _NEIGHBOR_STEP = None
+_OVERFLOW_STEP = None
 _DENSE_ROWS_STEP = None
 
 # Overflow rows are re-derived in fixed-size batches (one compile shape).
@@ -258,6 +288,16 @@ def _neighbor_step():
             _neighbor_all_device,
             static_argnames=("threshold", "k", "block"))
     return _NEIGHBOR_STEP
+
+
+def _overflow_step():
+    global _OVERFLOW_STEP
+    if _OVERFLOW_STEP is None:
+        import jax
+
+        _OVERFLOW_STEP = jax.jit(_overflow_block_device,
+                                 static_argnames=("threshold", "k"))
+    return _OVERFLOW_STEP
 
 
 def _dense_rows_step():
@@ -318,18 +358,36 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
         # Max-extraction of score u - col yields columns ascending.
         neighbors[r] = idx[r][valid[r]].copy()
 
-    # Rows with more than k neighbours (rare: k bounds error-variant
-    # fan-out) get their full adjacency row in fixed-size batches - one
-    # dispatch + one [P, U] bool fetch per batch, not one per row.
+    # Rows with more than k neighbours (error-variant fans on dup-heavy
+    # libraries) are re-extracted in fixed-size batches at a larger cap -
+    # [P, _OVERFLOW_K] indices fetched, not dense rows.  Rows beyond even
+    # that (threshold >= 2 pathologies; threshold 1 is bounded by
+    # 3L <= 96 < _OVERFLOW_K) fall through to one dense batched fetch.
     over = np.flatnonzero(cnt > k)
     if over.size:
-        step = _dense_rows_step()
+        k2 = min(_OVERFLOW_K, u_pad)
+        step = _overflow_step()
         p = _DENSE_ROWS_BATCH
+        still = []
         for lo in range(0, over.size, p):
             sel = over[lo:lo + p]
             sel_pad = np.zeros(p, np.int64)
             sel_pad[:sel.size] = sel
-            adj = np.asarray(jax.device_get(step(
+            idx2, cnt2 = jax.device_get(step(
+                words_d[sel_pad], lengths_d[sel_pad], gids_d[sel_pad],
+                jnp.asarray(sel_pad.astype(np.int32)),
+                words_d, lengths_d, gids_d, threshold=threshold, k=k2))
+            idx2, cnt2 = np.asarray(idx2), np.asarray(cnt2)
+            for i, r in enumerate(sel):
+                if cnt2[i] <= k2:
+                    neighbors[r] = idx2[i][idx2[i] < u_pad].copy()
+                else:
+                    still.append(r)
+        for lo in range(0, len(still), p):
+            sel = np.asarray(still[lo:lo + p], np.int64)
+            sel_pad = np.zeros(p, np.int64)
+            sel_pad[:sel.size] = sel
+            adj = np.asarray(jax.device_get(_dense_rows_step()(
                 words_d[sel_pad], lengths_d[sel_pad], gids_d[sel_pad],
                 jnp.asarray(sel_pad.astype(np.int32)),
                 words_d, lengths_d, gids_d, threshold=threshold)))

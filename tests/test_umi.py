@@ -305,3 +305,21 @@ class TestDedupReadsRegressions:
         labels, reps = dedup_umis(umis, threshold=1, method="cluster")
         assert labels[0] == labels[2] == labels[3] != labels[1]
         assert labels[1] == labels[4]
+
+    def test_overflow_beyond_overflow_k_falls_back_dense(self, monkeypatch):
+        # Rows exceeding even the overflow re-extraction cap must land on
+        # the dense batched path and still return exact neighbour sets.
+        import numpy as np
+
+        import shortseq_tpu.umi.dedup as dd
+
+        umis = [b"AAAA", b"AAAT", b"AAAC", b"AAAG", b"ATAA", b"ACAA",
+                b"AGAA", b"TAAA"]
+        words, lengths = dd._pack_validate_umis(umis)
+        full = dd._neighbor_lists(np.asarray(words), lengths, threshold=2)
+        monkeypatch.setattr(dd, "_NEIGHBOR_K", 2)
+        monkeypatch.setattr(dd, "_OVERFLOW_K", 3)
+        capped = dd._neighbor_lists(np.asarray(words), lengths, threshold=2)
+        for a, b in zip(full, capped):
+            assert sorted(a) == sorted(b)
+        assert max(len(x) for x in full) > 3  # dense tier really exercised
