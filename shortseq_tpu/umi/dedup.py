@@ -518,6 +518,17 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
     if len(umis) == 0:
         return np.zeros(0, np.int64), []
 
+    if isinstance(umis, np.ndarray):
+        if umis.ndim != 2 or umis.dtype != np.uint8:
+            raise TypeError("array input must be a 2-D uint8 UMI matrix")
+        if umis.shape[1] > MAX_64_NT:
+            raise ValueError("UMIs longer than 32 nt are not supported")
+        res = _dedup_umi_matrix(np.ascontiguousarray(umis), method,
+                                threshold, _block)
+        if res is not None:
+            return res
+        umis = [umis[i].tobytes() for i in range(len(umis))]
+
     norm = [u.encode("ascii") if isinstance(u, str) else bytes(u)
             for u in umis]
 
@@ -526,17 +537,11 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
     lengths_all = np.fromiter(map(len, norm), np.int64, len(norm))
     lng = int(lengths_all[0])
     if lng <= MAX_64_NT and (lengths_all == lng).all():
-        mat = np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng)
-        res = _unique_rows(mat)
+        res = _dedup_umi_matrix(
+            np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
+            method, threshold, _block)
         if res is not None:
-            uniq_mat, counts, inverse = res
-            lengths = np.full(len(counts), lng, np.int32)
-            words = _pack_validate_matrix(uniq_mat, lengths)
-            roots = _cluster_unique(words, lengths, counts, method,
-                                    threshold, block=_block)
-            labels_u, rep_nodes = _relabel(roots, counts)
-            return labels_u[inverse], [uniq_mat[i].tobytes()
-                                       for i in rep_nodes]
+            return res
 
     counter = collections.Counter(norm)
     uniq = list(counter)
@@ -551,17 +556,30 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
     return labels_u[inverse], [uniq[i] for i in rep_nodes]
 
 
-def _dedup_reads_matrix(norm, length, len_5p, len_3p, method, threshold,
-                        block):
-    """Vectorized dedup_reads for uniform-length reads: a unique
+def _dedup_umi_matrix(mat, method, threshold, block):
+    """Vectorized dedup_umis for an [N, L] uint8 UMI matrix.  Returns
+    None when the native library is unavailable."""
+    res = _unique_rows(mat)
+    if res is None:
+        return None
+    uniq_mat, counts, inverse = res
+    lengths = np.full(len(counts), mat.shape[1], np.int32)
+    words = _pack_validate_matrix(uniq_mat, lengths)
+    roots = _cluster_unique(words, lengths, counts, method, threshold,
+                            block=block)
+    labels_u, rep_nodes = _relabel(roots, counts)
+    return labels_u[inverse], [uniq_mat[i].tobytes() for i in rep_nodes]
+
+
+def _dedup_reads_matrix(mat, len_5p, len_3p, method, threshold, block):
+    """Vectorized dedup_reads for an [N, L] uint8 read matrix: a unique
     (insert, UMI) key is exactly a unique read (the read is the UMI ends
     around the insert), so grouping is one native hash-count with inverse
     over the raw read matrix, and gid assignment is a second one over the
     unique reads' insert columns.  First-occurrence ordering makes labels
     and representatives bit-identical to the Python dict path.  Returns
     None when the native library is unavailable."""
-    n = len(norm)
-    mat = np.frombuffer(b"".join(norm), np.uint8).reshape(n, length)
+    length = mat.shape[1]
     res = _unique_rows(mat)
     if res is None:
         return None
@@ -604,7 +622,10 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     blocks with a group-id mask so edges never cross inserts.
 
     Args:
-      reads: list of str/bytes (UMI(s) still attached).
+      reads: list of str/bytes (UMI(s) still attached), or an [N, L]
+        uint8 matrix of uniform-length reads (e.g. straight from
+        io.read_fastq_matrix on fixed-length libraries) - the zero-copy
+        production path, no per-read Python objects anywhere.
       len_5p/len_3p: UMI lengths clipped from each end.
     Returns:
       (labels, molecules): `labels[i]` is the molecule id of read i;
@@ -624,6 +645,20 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     if len(reads) == 0:
         return np.zeros(0, np.int64), []
 
+    if isinstance(reads, np.ndarray):
+        if reads.ndim != 2 or reads.dtype != np.uint8:
+            raise TypeError("array input must be a 2-D uint8 read matrix")
+        if reads.shape[1] < len_5p + len_3p:
+            raise ValueError(
+                f"Read of {reads.shape[1]} nt is shorter than the UMI "
+                f"lengths ({len_5p} + {len_3p})")
+        res = _dedup_reads_matrix(np.ascontiguousarray(reads), len_5p,
+                                  len_3p, method, threshold, _block)
+        if res is not None:
+            return res
+        # No native library: fall through via a bytes list.
+        reads = [reads[i].tobytes() for i in range(len(reads))]
+
     norm = [r.encode("ascii") if isinstance(r, str) else bytes(r)
             for r in reads]
 
@@ -634,8 +669,9 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     lengths_all = np.fromiter(map(len, norm), np.int64, len(norm))
     lng = int(lengths_all[0])
     if lng >= len_5p + len_3p and (lengths_all == lng).all():
-        res = _dedup_reads_matrix(norm, lng, len_5p, len_3p, method,
-                                  threshold, _block)
+        res = _dedup_reads_matrix(
+            np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
+            len_5p, len_3p, method, threshold, _block)
         if res is not None:
             return res
 

@@ -323,3 +323,31 @@ class TestDedupReadsRegressions:
         for a, b in zip(full, capped):
             assert sorted(a) == sorted(b)
         assert max(len(x) for x in full) > 3  # dense tier really exercised
+
+    def test_matrix_input_matches_list_input(self):
+        # dedup_reads / dedup_umis accept an [N, L] uint8 matrix (the
+        # zero-object production path) and must agree with list input.
+        import numpy as np
+
+        from shortseq_tpu.umi import dedup_reads, dedup_umis
+
+        rng = np.random.default_rng(13)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        mols = alpha[rng.integers(0, 4, size=(80, 18))]
+        mat = mols[rng.integers(0, 80, size=1500)]
+        reads = [mat[i].tobytes() for i in range(len(mat))]
+
+        lm, mm = dedup_reads(mat, len_5p=6)
+        ll, ml = dedup_reads(reads, len_5p=6)
+        assert (lm == ll).all() and mm == ml
+
+        um = mat[:, :8].copy()
+        lm2, rm2 = dedup_umis(um, threshold=1)
+        ll2, rl2 = dedup_umis([um[i].tobytes() for i in range(len(um))],
+                              threshold=1)
+        assert (lm2 == ll2).all() and rm2 == rl2
+
+        with pytest.raises(TypeError, match="2-D uint8"):
+            dedup_reads(mat.astype(np.int32), len_5p=6)
+        with pytest.raises(ValueError, match="shorter than the UMI"):
+            dedup_reads(mat[:, :4], len_5p=6)
