@@ -209,3 +209,41 @@ class TestGatherPack:
         assert list(words[0]) == oracle.blocks_to_lanes(blocks, 2)
         blocks = oracle.encode_bytes(b"C")
         assert list(words[1]) == oracle.blocks_to_lanes(blocks, 2)
+
+
+class TestHostCountInverse:
+    @pytest.mark.parametrize("n", [100, 16384, 16385, 130_000])
+    def test_inverse_contract(self, lib, n):
+        # ssq_host_count_inv must satisfy the np.unique(return_inverse)
+        # contract across the single-thread/threaded boundary (16384) and
+        # through table growth + the partition-offset fixup.
+        import numpy as np
+
+        from shortseq_tpu.io.native import host_count_native
+
+        rng = np.random.default_rng(n)
+        pool = rng.integers(0, 2**32, size=(max(10, n // 20), 3),
+                            dtype=np.uint64).astype(np.uint32)
+        words = pool[rng.integers(0, len(pool), size=n)]
+        lengths = np.full(n, 24, np.int32)
+        uw, ul, uc, inv = host_count_native(words, lengths,
+                                            return_inverse=True)
+        assert uc.sum() == n
+        assert (uw[inv] == words).all()
+        assert (np.bincount(inv, minlength=len(uw)) == uc).all()
+        # Counts and table agree with the no-inverse entry point.
+        uw2, ul2, uc2 = host_count_native(words, lengths)
+        assert (uw2 == uw).all() and (uc2 == uc).all()
+
+    def test_inverse_mixed_lengths(self, lib):
+        # Same words, different lengths are distinct keys.
+        import numpy as np
+
+        from shortseq_tpu.io.native import host_count_native
+
+        words = np.zeros((6, 2), np.uint32)
+        lengths = np.array([4, 8, 4, 8, 4, 12], np.int32)
+        uw, ul, uc, inv = host_count_native(words, lengths,
+                                            return_inverse=True)
+        assert len(uc) == 3
+        assert (ul[inv] == lengths).all()
