@@ -7,6 +7,7 @@ is runnable without writing Python.
 Commands:
   count FILE   exact-dedup a FASTQ (plain or gzip), print a TSV count table
   pack SEQ...  pack sequences and show their width class, hex words, hash
+  umi FILE     UMI-deduplicate FASTQ reads (molecule table to stdout)
 """
 
 from __future__ import annotations
@@ -47,6 +48,52 @@ def _cmd_count(args) -> int:
     return 0
 
 
+def _cmd_umi(args) -> int:
+    import numpy as np
+
+    from .io.fastq import read_fastq_matrix
+    from .umi.dedup import dedup_reads
+
+    if args.len_5p + args.len_3p <= 0:
+        print("error: at least one of --len-5p/--len-3p must be positive",
+              file=sys.stderr)
+        return 2
+    mat, lengths = read_fastq_matrix(args.file, pad_to=1)
+    if len(lengths) and (lengths == lengths[0]).all():
+        reads = np.ascontiguousarray(mat[:, :lengths[0]])  # matrix path
+    else:
+        reads = [mat[i, :lengths[i]].tobytes() for i in range(len(lengths))]
+    try:
+        labels, molecules = dedup_reads(
+            reads, len_5p=args.len_5p, len_3p=args.len_3p,
+            threshold=args.threshold, method=args.method)
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    counts = np.bincount(labels, minlength=len(molecules))
+    print(f"{len(labels)} reads -> {len(molecules)} molecules "
+          f"({args.method}, threshold {args.threshold})", file=sys.stderr)
+
+    items = sorted(zip(molecules, counts), key=lambda kv: -kv[1])
+    if args.top:
+        items = items[:args.top]
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        if args.json:
+            json.dump([{"insert": i.decode("ascii", "replace"),
+                        "umi": u.decode("ascii", "replace"),
+                        "reads": int(c)} for (i, u), c in items], out)
+            out.write("\n")
+        else:
+            for (insert, umi), c in items:
+                out.write(f"{insert.decode('ascii', 'replace')}\t"
+                          f"{umi.decode('ascii', 'replace')}\t{c}\n")
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
 def _cmd_pack(args) -> int:
     from . import pack
     from .oracle import encode_bytes
@@ -76,6 +123,24 @@ def main(argv=None) -> int:
     c.add_argument("--output", "-o", default=None,
                    help="write the table here instead of stdout")
     c.set_defaults(fn=_cmd_count)
+
+    u = sub.add_parser("umi", help="UMI-deduplicate FASTQ reads")
+    u.add_argument("file")
+    u.add_argument("--len-5p", type=int, default=0,
+                   help="UMI length on the 5' end")
+    u.add_argument("--len-3p", type=int, default=0,
+                   help="UMI length on the 3' end")
+    u.add_argument("--threshold", type=int, default=1,
+                   help="max hamming distance for UMI collapse")
+    u.add_argument("--method", default="directional",
+                   choices=("unique", "cluster", "adjacency", "directional"))
+    u.add_argument("--top", type=int, default=0,
+                   help="only the N most frequent molecules")
+    u.add_argument("--json", action="store_true",
+                   help="JSON list instead of TSV")
+    u.add_argument("--output", "-o", default=None,
+                   help="write the table here instead of stdout")
+    u.set_defaults(fn=_cmd_umi)
 
     p = sub.add_parser("pack", help="pack sequences, show their encoding")
     p.add_argument("seq", nargs="+")

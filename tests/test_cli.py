@@ -54,3 +54,45 @@ def test_pack_command(capsys):
     assert f"hash={hash(sq.pack('ACGT'))}" in fields
     # Block hex matches the oracle encoding (A=00 C=01 G=11 T=10 LSB-first).
     assert fields[-1] == "blocks=00000000000000b4"
+
+
+class TestUmiCommand:
+    def test_umi_dedup_tsv(self, tmp_path, capsys):
+        from shortseq_tpu.__main__ import main
+
+        reads = ["AACCGG" + "ACGTACGTACGTACGT"] * 5 + \
+                ["AACCGT" + "ACGTACGTACGTACGT"] * 1 + \
+                ["TTGGCC" + "ACGTACGTACGTACGT"] * 3
+        path = tmp_path / "u.fastq"
+        with open(path, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+        rc = main(["umi", str(path), "--len-5p", "6"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        rows = [line.split("\t") for line in out]
+        assert len(rows) == 2  # AACCGT collapses into AACCGG
+        assert rows[0] == ["ACGTACGTACGTACGT", "AACCGG", "6"]
+        assert rows[1] == ["ACGTACGTACGTACGT", "TTGGCC", "3"]
+
+    def test_umi_requires_a_length(self, tmp_path, capsys):
+        from shortseq_tpu.__main__ import main
+
+        path = tmp_path / "u.fastq"
+        path.write_text("@r\nACGT\n+\nIIII\n")
+        rc = main(["umi", str(path)])
+        assert rc == 2
+        assert "len-5p" in capsys.readouterr().err
+
+    def test_umi_variable_length_reads(self, tmp_path, capsys):
+        from shortseq_tpu.__main__ import main
+
+        reads = ["AACC" + "ACGT" * 4, "AACC" + "ACGT" * 3]
+        path = tmp_path / "v.fastq"
+        with open(path, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+        rc = main(["umi", str(path), "--len-5p", "4"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 2  # different inserts never merge
