@@ -15,5 +15,5 @@ from .bitpack import (
     fold_for,
     collapse_xor,
 )
-from .hamming import hamming_rows, hamming_pairwise
+from .hamming import hamming_rows, hamming_pairwise, hamming_pairwise_mxu
 from .pallas_kernels import hamming_pairwise_tiled, pairwise_hamming_auto

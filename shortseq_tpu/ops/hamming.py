@@ -38,3 +38,34 @@ def hamming_pairwise(a_words: jax.Array, b_words: jax.Array) -> jax.Array:
     """
     c = collapse_xor(a_words[:, None, :] ^ b_words[None, :, :])
     return jnp.sum(jax.lax.population_count(c), axis=-1).astype(jnp.int32)
+
+
+def one_hot_codes(words: jax.Array) -> jax.Array:
+    """`[N, W]` packed uint32 lanes -> `[N, W*64]` bf16 one-hot of the
+    2-bit codes (16 codes per lane x 4 classes), LSB-first to match the
+    reference bit layout.  Zero padding past a read's length one-hots as
+    code 00 ('A'), exactly as the XOR formulation treats it."""
+    n, w = words.shape
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = ((words[:, :, None] >> shifts) & 3).astype(jnp.int32)
+    oh = codes[..., None] == jnp.arange(4, dtype=jnp.int32)
+    return oh.reshape(n, w * 64).astype(jnp.bfloat16)
+
+
+@jax.jit
+def hamming_pairwise_mxu(a_words: jax.Array, b_words: jax.Array) -> jax.Array:
+    """All-pairs hamming as one MXU matmul: `dist = nt_width - matches`,
+    with matches = one_hot(a) @ one_hot(b).T.
+
+    Bit-exact vs hamming_pairwise: operands are 0/1 bf16 (exactly
+    representable), the contraction accumulates in f32, and per-pair sums
+    are <= 1024 < 2^24 - no rounding anywhere.  Rationale: the XOR
+    formulation is VPU-bound (~6 vector ops/pair); this one rides the
+    systolic array at 4*nt MACs/pair, which on TPU wins despite the 64x
+    operand expansion because pairwise work is O(N*M) while operands are
+    O(N+M)."""
+    w = a_words.shape[1]
+    matches = jax.lax.dot_general(
+        one_hot_codes(a_words), one_hot_codes(b_words),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    return (w * 16 - matches).astype(jnp.int32)

@@ -187,3 +187,32 @@ def test_hamming_pairwise(rng):
     for i in range(8):
         for j in range(8):
             assert dm[i, j] == oracle.str_hamming(seqs[i], seqs[j])
+
+
+class TestPairwiseMXU:
+    @pytest.mark.parametrize("n,m,w", [(64, 96, 2), (33, 50, 6), (20, 20, 64)])
+    def test_matches_xor_formulation(self, n, m, w):
+        # The MXU dot formulation must be bit-exact vs XOR+popcount.
+        import numpy as np
+
+        from shortseq_tpu.ops import hamming_pairwise, hamming_pairwise_mxu
+
+        rng = np.random.default_rng(n * w)
+        a = rng.integers(0, 2**32, size=(n, w), dtype=np.uint64) \
+            .astype(np.uint32)
+        b = rng.integers(0, 2**32, size=(m, w), dtype=np.uint64) \
+            .astype(np.uint32)
+        got = np.asarray(hamming_pairwise_mxu(a, b))
+        want = np.asarray(hamming_pairwise(a, b))
+        assert (got == want).all()
+
+    def test_extremes(self):
+        import numpy as np
+
+        from shortseq_tpu.ops import hamming_pairwise_mxu
+
+        zero = np.zeros((2, 64), np.uint32)           # 1024 nt of 'A'
+        ones = np.full((2, 64), 0xFFFFFFFF, np.uint32)  # 1024 nt of 'G'
+        d = np.asarray(hamming_pairwise_mxu(zero, ones))
+        assert (d == 1024).all()
+        assert (np.asarray(hamming_pairwise_mxu(zero, zero)) == 0).all()
