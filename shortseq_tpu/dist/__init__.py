@@ -11,10 +11,11 @@ from .mesh import data_mesh, initialize_distributed
 from .count import count_sharded, count_sharded_bucketed, make_sharded_counter
 from .pipeline import (count_fastq_sharded, read_and_count_fastq_distributed,
                        table_to_counter)
+from .umi import neighbors_sharded_step
 
 __all__ = [
     "data_mesh", "initialize_distributed",
     "count_sharded", "count_sharded_bucketed", "make_sharded_counter",
     "count_fastq_sharded", "read_and_count_fastq_distributed",
-    "table_to_counter",
+    "table_to_counter", "neighbors_sharded_step",
 ]

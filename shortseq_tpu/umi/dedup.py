@@ -310,12 +310,17 @@ def _dense_rows_step():
     return _DENSE_ROWS_STEP
 
 
-def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
+def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
+                    mesh=None):
     """Sparse adjacency: neighbours[i] = indices j != i with
     hamming(i, j) <= threshold, equal lengths, and (optionally) equal
     group ids.  Each [block, U] distance slab is computed AND reduced on
     device (per-row index extraction, _neighbor_block_device); host
-    memory and transfer are O(U * k + edges), never O(U^2)."""
+    memory and transfer are O(U * k + edges), never O(U^2).
+
+    With a mesh, row bands split over the 'data' axis (dist/umi.py) - the
+    quadratic stage scales with device count while this host logic is
+    unchanged."""
     import jax
     import jax.numpy as jnp
 
@@ -327,10 +332,11 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
         # (the extraction pre-reduces over 128-column segments).
         block = -(-block // 128) * 128
     k = min(_NEIGHBOR_K, u)
-    # Pad the row count to a multiple of block with rows that match
-    # nothing (length -1); their neighbour lists come back empty and are
-    # sliced off below.
-    u_pad = -(-u // block) * block
+    # Pad the row count to a multiple of block (x devices) with rows that
+    # match nothing (length -1); their neighbour lists come back empty
+    # and are sliced off below.
+    quantum = block * (mesh.devices.size if mesh is not None else 1)
+    u_pad = -(-u // quantum) * quantum
     words_np = np.asarray(words)
     if u_pad != u:
         words_np = np.pad(words_np, ((0, u_pad - u), (0, 0)))
@@ -344,9 +350,16 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None):
     lengths_d = jnp.asarray(lens_pad)
     gids_d = jnp.asarray(gids_pad)
 
-    idx, cnt = _neighbor_step()(
-        words_d, lengths_d, gids_d,
-        threshold=threshold, k=k, block=block)
+    if mesh is not None:
+        from ..dist.umi import neighbors_sharded_step
+
+        idx, cnt = neighbors_sharded_step(mesh, threshold, k, block)(
+            words_np, lens_pad, gids_pad,
+            np.arange(u_pad, dtype=np.int32))
+    else:
+        idx, cnt = _neighbor_step()(
+            words_d, lengths_d, gids_d,
+            threshold=threshold, k=k, block=block)
     idx, cnt = jax.device_get((idx, cnt))
     idx = np.asarray(idx)[:u]
     cnt = np.asarray(cnt)[:u]
@@ -479,7 +492,7 @@ def split_read(read: bytes, len_5p: int, len_3p: int):
 
 
 def _cluster_unique(words, lengths, counts, method, threshold, gids=None,
-                    candidates=None, block=None):
+                    candidates=None, block=None, mesh=None):
     """Shared collapse driver: returns root per unique key.  `candidates`
     restricts the (quadratic) adjacency work to the given key indices;
     keys outside it root themselves."""
@@ -497,14 +510,14 @@ def _cluster_unique(words, lengths, counts, method, threshold, gids=None,
     sub_gids = gids[candidates] if gids is not None else None
     neighbors = _neighbor_lists(
         words[candidates], lengths[candidates], threshold,
-        gids=sub_gids, block=block)
+        gids=sub_gids, block=block, mesh=mesh)
     sub_roots = _collapse(neighbors, counts[candidates], method)
     roots[candidates] = candidates[sub_roots]
     return roots
 
 
 def dedup_umis(umis, threshold: int = 1, method: str = "directional",
-               _block=None):
+               _block=None, mesh=None):
     """Collapse a list of UMIs (str/bytes) into clusters.
 
     Returns (labels, representatives): `labels[i]` is the cluster id of
@@ -524,7 +537,7 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
         if umis.shape[1] > MAX_64_NT:
             raise ValueError("UMIs longer than 32 nt are not supported")
         res = _dedup_umi_matrix(np.ascontiguousarray(umis), method,
-                                threshold, _block)
+                                threshold, _block, mesh)
         if res is not None:
             return res
         umis = [umis[i].tobytes() for i in range(len(umis))]
@@ -539,7 +552,7 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
     if lng <= MAX_64_NT and (lengths_all == lng).all():
         res = _dedup_umi_matrix(
             np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
-            method, threshold, _block)
+            method, threshold, _block, mesh)
         if res is not None:
             return res
 
@@ -551,12 +564,12 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
 
     words, lengths = _pack_validate_umis(uniq)
     roots = _cluster_unique(words, lengths, counts, method, threshold,
-                            block=_block)
+                            block=_block, mesh=mesh)
     labels_u, rep_nodes = _relabel(roots, counts)
     return labels_u[inverse], [uniq[i] for i in rep_nodes]
 
 
-def _dedup_umi_matrix(mat, method, threshold, block):
+def _dedup_umi_matrix(mat, method, threshold, block, mesh=None):
     """Vectorized dedup_umis for an [N, L] uint8 UMI matrix.  Returns
     None when the native library is unavailable."""
     res = _unique_rows(mat)
@@ -566,12 +579,13 @@ def _dedup_umi_matrix(mat, method, threshold, block):
     lengths = np.full(len(counts), mat.shape[1], np.int32)
     words = _pack_validate_matrix(uniq_mat, lengths)
     roots = _cluster_unique(words, lengths, counts, method, threshold,
-                            block=block)
+                            block=block, mesh=mesh)
     labels_u, rep_nodes = _relabel(roots, counts)
     return labels_u[inverse], [uniq_mat[i].tobytes() for i in rep_nodes]
 
 
-def _dedup_reads_matrix(mat, len_5p, len_3p, method, threshold, block):
+def _dedup_reads_matrix(mat, len_5p, len_3p, method, threshold, block,
+                        mesh=None):
     """Vectorized dedup_reads for an [N, L] uint8 read matrix: a unique
     (insert, UMI) key is exactly a unique read (the read is the UMI ends
     around the insert), so grouping is one native hash-count with inverse
@@ -600,7 +614,8 @@ def _dedup_reads_matrix(mat, len_5p, len_3p, method, threshold, block):
     group_sizes = np.bincount(gids)
     candidates = np.flatnonzero(group_sizes[gids] >= 2)
     roots = _cluster_unique(words, lengths, counts, method, threshold,
-                            gids=gids, candidates=candidates, block=block)
+                            gids=gids, candidates=candidates, block=block,
+                            mesh=mesh)
     labels_u, rep_nodes = _relabel(roots, counts)
     molecules = [(uniq_mat[i, ins_lo:ins_hi].tobytes(),
                   umi_mat[i].tobytes()) for i in rep_nodes]
@@ -609,7 +624,7 @@ def _dedup_reads_matrix(mat, len_5p, len_3p, method, threshold, block):
 
 def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
                 threshold: int = 1, method: str = "directional",
-                _block=None):
+                _block=None, mesh=None):
     """Full UMI read deduplication: reads carrying UMIs on the 5'/3' ends
     are grouped by insert sequence, and within each group the UMIs are
     clustered (sequencing-error collapse); each cluster is one original
@@ -653,7 +668,8 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
                 f"Read of {reads.shape[1]} nt is shorter than the UMI "
                 f"lengths ({len_5p} + {len_3p})")
         res = _dedup_reads_matrix(np.ascontiguousarray(reads), len_5p,
-                                  len_3p, method, threshold, _block)
+                                  len_3p, method, threshold, _block,
+                                  mesh=mesh)
         if res is not None:
             return res
         # No native library: fall through via a bytes list.
@@ -671,7 +687,7 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     if lng >= len_5p + len_3p and (lengths_all == lng).all():
         res = _dedup_reads_matrix(
             np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
-            len_5p, len_3p, method, threshold, _block)
+            len_5p, len_3p, method, threshold, _block, mesh=mesh)
         if res is not None:
             return res
 
@@ -700,7 +716,8 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     group_sizes = np.bincount(gids, minlength=len(inserts))
     candidates = np.flatnonzero(group_sizes[gids] >= 2)
     roots = _cluster_unique(words, lengths, counts, method, threshold,
-                            gids=gids, candidates=candidates, block=_block)
+                            gids=gids, candidates=candidates, block=_block,
+                            mesh=mesh)
     labels_u, rep_nodes = _relabel(roots, counts)
     molecules = [(inserts[uniq[i][0]], uniq[i][1]) for i in rep_nodes]
     return labels_u[inverse], molecules

@@ -80,3 +80,52 @@ def test_sharded_count_on_8_cpu_devices():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "MULTICHIP-OK" in proc.stdout
+
+
+_UMI_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np
+from shortseq_tpu.dist import data_mesh
+from shortseq_tpu.umi.dedup import dedup_reads, dedup_umis, _neighbor_lists, \\
+    _pack_validate_umis
+
+rng = np.random.default_rng(21)
+alpha = np.frombuffer(b"ACGT", np.uint8)
+pool = alpha[rng.integers(0, 4, size=(400, 10))]
+umis = [pool[i].tobytes() for i in rng.integers(0, 400, size=3000)]
+mesh = data_mesh()
+
+# Sharded adjacency == single-device adjacency, row for row.
+uniq = sorted(set(umis))
+words, lengths = _pack_validate_umis(uniq)
+words = np.asarray(words)
+single = _neighbor_lists(words, lengths, 1)
+sharded = _neighbor_lists(words, lengths, 1, mesh=mesh)
+assert len(single) == len(sharded)
+for a, b in zip(single, sharded):
+    assert sorted(a) == sorted(b)
+
+# Whole dedup pipelines agree bit-for-bit with the single-device result.
+l1, r1 = dedup_umis(umis, threshold=1, method="directional")
+l2, r2 = dedup_umis(umis, threshold=1, method="directional", mesh=mesh)
+assert (l1 == l2).all() and r1 == r2
+
+reads = [pool[i].tobytes() + b"ACGTACGTACGTACGT"
+         for i in rng.integers(0, 400, size=2000)]
+l3, m3 = dedup_reads(reads, len_5p=10)
+l4, m4 = dedup_reads(reads, len_5p=10, mesh=mesh)
+assert (l3 == l4).all() and m3 == m4
+print("SHARDED_UMI_OK")
+"""
+
+
+def test_sharded_umi_adjacency_matches_single_device():
+    out = subprocess.run(
+        [sys.executable, "-c", _UMI_SCRIPT],
+        env=scrubbed_cpu_env(), capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "SHARDED_UMI_OK" in out.stdout
