@@ -13,13 +13,21 @@ umi_tools algorithms the reference benchmarks against
                  are BFS trees from high-count roots (the umi_tools default
                  and the standard for sequencing-error collapse)
 
-Device side: UMIs are packed 2-bit words; the pairwise distance matrix
-comes from the XOR + collapse + popcount kernel (ops/hamming.py, tiled
-Pallas variant in ops/pallas_kernels.py) computed in ROW BLOCKS sized to a
-fixed memory budget, and reduced immediately to sparse neighbour lists -
-so memory stays bounded at any number of unique UMIs and the dispatch
-count stays O(U / block), never O(groups).  Host side: graph collapse
-over the sparse lists.
+Pipeline shape (each stage's why lives on its function):
+
+  group     - unique (insert, UMI) keys + counts + per-item inverse via
+              the threaded native hash counter (_unique_rows); uniform-
+              length inputs take a fully vectorized matrix path, and an
+              [N, L] uint8 matrix is accepted directly (zero per-read
+              Python objects).
+  adjacency - packed 2-bit words; [block, U] distance slabs from the
+              tiled Pallas XOR+popcount kernel, reduced ON DEVICE to
+              per-row neighbour indices by hierarchical max-extraction
+              (never lax.top_k - it lowers to a per-row sort), the whole
+              matrix in ONE compiled program (lax.map), with optional
+              row-band sharding over a device mesh (dist/umi.py).
+              Host traffic is O(U*k), memory O(block * U).
+  collapse  - host graph walk over the sparse lists, O(edges).
 """
 
 from __future__ import annotations
