@@ -351,3 +351,26 @@ class TestDedupReadsRegressions:
             dedup_reads(mat.astype(np.int32), len_5p=6)
         with pytest.raises(ValueError, match="shorter than the UMI"):
             dedup_reads(mat[:, :4], len_5p=6)
+
+    @pytest.mark.parametrize("method", ["cluster", "adjacency",
+                                        "directional"])
+    @pytest.mark.parametrize("threshold", [1, 2])
+    def test_fast_slow_differential_sweep(self, method, threshold,
+                                          monkeypatch):
+        # Randomized fast-vs-Python differential across methods and
+        # thresholds (seeded); partitions and molecule sets must be
+        # bit-identical.
+        import numpy as np
+
+        import shortseq_tpu.umi.dedup as dd
+
+        rng = np.random.default_rng(hash((method, threshold)) % 2**32)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        pool = alpha[rng.integers(0, 4, size=(60, 6))]
+        umis = [pool[i].tobytes() for i in rng.integers(0, 60, size=800)]
+
+        fast = dd.dedup_umis(umis, threshold=threshold, method=method)
+        monkeypatch.setattr(dd, "_unique_rows", lambda mat: None)
+        slow = dd.dedup_umis(umis, threshold=threshold, method=method)
+        assert (fast[0] == slow[0]).all()
+        assert fast[1] == slow[1]
