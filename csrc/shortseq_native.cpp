@@ -700,19 +700,23 @@ static PyObject* py_update_from_table(PyObject*, PyObject* args) {
       ok = 0;
       break;
     }
-    PyObject* cur = PyDict_GetItemWithError(dict, key);  // borrowed
-    if (cur) {
-      PyObject* add = PyLong_FromLongLong(c);
-      PyObject* nv = add ? PyNumber_Add(cur, add) : nullptr;
-      ok = nv && PyDict_SetItem(dict, key, nv) == 0;
-      Py_XDECREF(add);
-      Py_XDECREF(nv);
-    } else if (PyErr_Occurred()) {
+    // Table rows are unique within a call, so the key is almost never
+    // present: SetDefault inserts with ONE hash+lookup (vs the
+    // Get-then-Set double walk) and only a genuine collision (counter
+    // pre-populated, or a cross-call merge) pays the add+replace.
+    PyObject* nv = PyLong_FromLongLong(c);
+    if (!nv) {
       ok = 0;
     } else {
-      PyObject* nv = PyLong_FromLongLong(c);
-      ok = nv && PyDict_SetItem(dict, key, nv) == 0;
-      Py_XDECREF(nv);
+      PyObject* got = PyDict_SetDefault(dict, key, nv);  // borrowed
+      if (!got) {
+        ok = 0;
+      } else if (got != nv) {
+        PyObject* sum = PyNumber_Add(got, nv);
+        ok = sum && PyDict_SetItem(dict, key, sum) == 0;
+        Py_XDECREF(sum);
+      }
+      Py_DECREF(nv);
     }
     Py_DECREF(key);
   }
