@@ -413,10 +413,12 @@ static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
     threads.emplace_back([=, &parts, &hashes] {
       Part& P = parts[t];
       size_t cap = 64;
-      // Start at ~1/2x the per-partition mean row count; the grow path
-      // doubles as uniques accumulate, so low-dup inputs still fit while
-      // high-dup inputs (the common dedup case) stay small.
-      int64_t expect = n / nthreads / 2 + 64;
+      // Size for the all-unique worst case (cap >= 2x the per-partition
+      // mean keeps load factor < 1/2 with no growth rehash); the zero
+      // fill of the larger table costs ~ms while a growth rehash of a
+      // near-full table costs a rebuild of every entry.  High-dup inputs
+      // waste idle zeroed slots, which are never touched again.
+      int64_t expect = 2 * (n / nthreads) + 64;
       while ((int64_t)cap < expect) cap <<= 1;
       P.slot.assign(cap, -1);
       P.count.assign(cap, 0);
