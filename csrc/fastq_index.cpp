@@ -424,7 +424,18 @@ static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
       P.count.assign(cap, 0);
       P.ord.assign(cap, 0);
       uint64_t mask = cap - 1;
+      // Software-prefetch upcoming probe slots: the first probe of each
+      // insert is a random cacheline in a table far larger than L2, so
+      // the loop is latency-bound without it.  Stale prefetches after a
+      // grow (mask changed) are merely useless, never wrong.
+      const int64_t kPf = 16;
+      int64_t pf = 0;
       for (int64_t i = 0; i < n; ++i) {
+        for (; pf < n && pf < i + kPf; ++pf) {
+          uint64_t hp = hashes[pf];
+          if (nthreads == 1 || (int)(hp >> shift) == t)
+            __builtin_prefetch(&P.slot[hp & mask], 0, 1);
+        }
         uint64_t h = hashes[i];
         if (nthreads > 1 && (int)(h >> shift) != t) continue;
         size_t s = (size_t)(h & mask);
