@@ -69,6 +69,13 @@ def main():
         maj.setdefault(int(m), {}).setdefault(int(lab), 0)
         maj[int(m)][int(lab)] += 1
     split = sum(1 for d in maj.values() if len(d) > 1)
+    # Correctness gates (the docstring's promises): molecule recovery
+    # within the un-collapsible fraction, and no split molecules beyond
+    # a small tolerance in the sample.
+    assert len(molecules) <= n_mol * 1.05, (len(molecules), n_mol)
+    assert len(molecules) >= n_mol * 0.95, (len(molecules), n_mol)
+    assert split <= len(maj) * 0.01, (split, len(maj))
+
     result = {
         "dedup_reads_total": int(args.n),
         "wall_s": wall,

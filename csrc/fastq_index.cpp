@@ -395,10 +395,10 @@ static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
     for (auto& th : threads) th.join();
   }
 
-  // Per-partition tables: capacity 2x the worst case (all rows unique and
-  // hash-skewed into one partition would still fit: cap >= n per
-  // partition when nthreads == 1; for P > 1 a 4x-mean cap plus linear
-  // probing absorbs realistic skew, and the insert loop grows on overflow).
+  // Per-partition tables: presized for the all-unique worst case
+  // (load factor < 1/2 with no growth rehash) but capped so dup-heavy
+  // giant inputs don't commit gigabytes of idle slots; past the cap the
+  // insert loop grows on demand.
   struct Part {
     std::vector<int64_t> slot;    // row index of the unique occupant, or -1
     std::vector<int64_t> count;   // parallel to slot
@@ -413,12 +413,14 @@ static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
     threads.emplace_back([=, &parts, &hashes] {
       Part& P = parts[t];
       size_t cap = 64;
-      // Size for the all-unique worst case (cap >= 2x the per-partition
-      // mean keeps load factor < 1/2 with no growth rehash); the zero
-      // fill of the larger table costs ~ms while a growth rehash of a
-      // near-full table costs a rebuild of every entry.  High-dup inputs
-      // waste idle zeroed slots, which are never touched again.
+      // 2x the per-partition mean keeps load factor < 1/2 with no growth
+      // rehash for all-unique inputs (a rehash rebuilds every live
+      // entry; the larger zero fill costs ~10 ms per 8M slots).  Capped
+      // at 8M slots (192 MB of table per partition) so a dup-heavy 100M-
+      // row call doesn't commit gigabytes of idle slots; beyond the cap
+      // the grow path takes over.
       int64_t expect = 2 * (n / nthreads) + 64;
+      if (expect > (int64_t)1 << 23) expect = (int64_t)1 << 23;
       while ((int64_t)cap < expect) cap <<= 1;
       P.slot.assign(cap, -1);
       P.count.assign(cap, 0);

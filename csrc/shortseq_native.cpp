@@ -704,14 +704,18 @@ static PyObject* py_update_from_table(PyObject*, PyObject* args) {
     // present: SetDefault inserts with ONE hash+lookup (vs the
     // Get-then-Set double walk) and only a genuine collision (counter
     // pre-populated, or a cross-call merge) pays the add+replace.
+    // "Key existed" is detected by the dict SIZE, never by comparing
+    // the returned pointer to nv: CPython interns small ints, so an
+    // existing count equal to the incoming one IS the same object.
     PyObject* nv = PyLong_FromLongLong(c);
     if (!nv) {
       ok = 0;
     } else {
+      Py_ssize_t before = PyDict_GET_SIZE(dict);
       PyObject* got = PyDict_SetDefault(dict, key, nv);  // borrowed
       if (!got) {
         ok = 0;
-      } else if (got != nv) {
+      } else if (PyDict_GET_SIZE(dict) == before) {  // existed: add
         PyObject* sum = PyNumber_Add(got, nv);
         ok = sum && PyDict_SetItem(dict, key, sum) == 0;
         Py_XDECREF(sum);

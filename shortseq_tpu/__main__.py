@@ -32,20 +32,27 @@ def _cmd_count(args) -> int:
         return 2
 
     items = sorted(counts.items(), key=lambda kv: -kv[1])
+    _write_table(args, items,
+                 to_json=lambda items: {str(k): v for k, v in items},
+                 to_row=lambda k, v: f"{k}\t{v}\n")
+    return 0
+
+
+def _write_table(args, items, to_json, to_row):
+    """Shared --top/--json/--output writer for the table commands."""
     if args.top:
         items = items[:args.top]
     out = open(args.output, "w") if args.output else sys.stdout
     try:
         if args.json:
-            json.dump({str(k): v for k, v in items}, out)
+            json.dump(to_json(items), out)
             out.write("\n")
         else:
             for k, v in items:
-                out.write(f"{k}\t{v}\n")
+                out.write(to_row(k, v))
     finally:
         if args.output:
             out.close()
-    return 0
 
 
 def _cmd_umi(args) -> int:
@@ -75,22 +82,13 @@ def _cmd_umi(args) -> int:
           f"({args.method}, threshold {args.threshold})", file=sys.stderr)
 
     items = sorted(zip(molecules, counts), key=lambda kv: -kv[1])
-    if args.top:
-        items = items[:args.top]
-    out = open(args.output, "w") if args.output else sys.stdout
-    try:
-        if args.json:
-            json.dump([{"insert": i.decode("ascii", "replace"),
-                        "umi": u.decode("ascii", "replace"),
-                        "reads": int(c)} for (i, u), c in items], out)
-            out.write("\n")
-        else:
-            for (insert, umi), c in items:
-                out.write(f"{insert.decode('ascii', 'replace')}\t"
-                          f"{umi.decode('ascii', 'replace')}\t{c}\n")
-    finally:
-        if args.output:
-            out.close()
+    _write_table(
+        args, items,
+        to_json=lambda items: [{"insert": i.decode("ascii", "replace"),
+                                "umi": u.decode("ascii", "replace"),
+                                "reads": int(c)} for (i, u), c in items],
+        to_row=lambda mol, c: (f"{mol[0].decode('ascii', 'replace')}\t"
+                               f"{mol[1].decode('ascii', 'replace')}\t{c}\n"))
     return 0
 
 

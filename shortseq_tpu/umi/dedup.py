@@ -354,9 +354,17 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
                else np.zeros(u, np.int32))
     gids_pad = np.zeros(u_pad, np.int32)
     gids_pad[:u] = gids_np
-    words_d = jnp.asarray(words_np)
-    lengths_d = jnp.asarray(lens_pad)
-    gids_d = jnp.asarray(gids_pad)
+    # Default-device copies are only needed by the single-device step
+    # and the (rare) overflow re-extraction; the mesh path ships its own
+    # replicated operands, so don't pay a second transfer up front.
+    words_d = lengths_d = gids_d = None
+
+    def _to_default_device():
+        nonlocal words_d, lengths_d, gids_d
+        if words_d is None:
+            words_d = jnp.asarray(words_np)
+            lengths_d = jnp.asarray(lens_pad)
+            gids_d = jnp.asarray(gids_pad)
 
     if mesh is not None:
         from ..dist.umi import neighbors_sharded_step
@@ -365,6 +373,7 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
             words_np, lens_pad, gids_pad,
             np.arange(u_pad, dtype=np.int32))
     else:
+        _to_default_device()
         idx, cnt = _neighbor_step()(
             words_d, lengths_d, gids_d,
             threshold=threshold, k=k, block=block)
@@ -386,6 +395,7 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
     # 3L <= 96 < _OVERFLOW_K) fall through to one dense batched fetch.
     over = np.flatnonzero(cnt > k)
     if over.size:
+        _to_default_device()
         k2 = min(_OVERFLOW_K, u_pad)
         step = _overflow_step()
         p = _DENSE_ROWS_BATCH
@@ -539,8 +549,10 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
     if len(umis) == 0:
         return np.zeros(0, np.int64), []
 
-    if isinstance(umis, np.ndarray):
-        if umis.ndim != 2 or umis.dtype != np.uint8:
+    # 2-D arrays are UMI matrices (one row per UMI); 1-D arrays of
+    # str/bytes scalars flow through the generic list path below.
+    if isinstance(umis, np.ndarray) and umis.ndim == 2:
+        if umis.dtype != np.uint8:
             raise TypeError("array input must be a 2-D uint8 UMI matrix")
         if umis.shape[1] > MAX_64_NT:
             raise ValueError("UMIs longer than 32 nt are not supported")
@@ -668,8 +680,10 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     if len(reads) == 0:
         return np.zeros(0, np.int64), []
 
-    if isinstance(reads, np.ndarray):
-        if reads.ndim != 2 or reads.dtype != np.uint8:
+    # 2-D arrays are read matrices; 1-D arrays of str/bytes scalars
+    # flow through the generic list path below.
+    if isinstance(reads, np.ndarray) and reads.ndim == 2:
+        if reads.dtype != np.uint8:
             raise TypeError("array input must be a 2-D uint8 read matrix")
         if reads.shape[1] < len_5p + len_3p:
             raise ValueError(

@@ -99,3 +99,22 @@ class TestManifestFingerprint:
         data[-1] = 7  # tail-only change, same size
         p.write_bytes(bytes(data))
         assert file_fingerprint(p) != f1
+
+
+def test_update_from_table_small_int_merge():
+    # Regression: CPython interns ints in [-5, 256], so "key existed"
+    # must be detected by dict size, never by comparing the SetDefault
+    # result to the freshly created count object (two merges of count 1
+    # silently yielded 1).
+    import numpy as np
+
+    from shortseq_tpu.api.counter import (ShortSeqCounter,
+                                          update_counter_from_host_table)
+
+    words = np.array([[1, 0], [2, 0]], np.uint32)
+    lengths = np.array([16, 16], np.int32)
+    c = ShortSeqCounter()
+    for _ in range(3):
+        update_counter_from_host_table(
+            c, words, lengths, np.array([1, 300], np.int64))
+    assert sorted(c.values()) == [3, 900], dict(c)

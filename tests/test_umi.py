@@ -364,7 +364,8 @@ class TestDedupReadsRegressions:
 
         import shortseq_tpu.umi.dedup as dd
 
-        rng = np.random.default_rng(hash((method, threshold)) % 2**32)
+        seed = (dd._METHODS.index(method) + 1) * 1000 + threshold
+        rng = np.random.default_rng(seed)  # stable (no str hash salt)
         alpha = np.frombuffer(b"ACGT", np.uint8)
         pool = alpha[rng.integers(0, 4, size=(60, 6))]
         umis = [pool[i].tobytes() for i in rng.integers(0, 60, size=800)]
@@ -374,3 +375,16 @@ class TestDedupReadsRegressions:
         slow = dd.dedup_umis(umis, threshold=threshold, method=method)
         assert (fast[0] == slow[0]).all()
         assert fast[1] == slow[1]
+
+    def test_1d_string_arrays_still_accepted(self):
+        # numpy 1-D arrays of bytes/str scalars flow through the list
+        # path (regression: the 2-D matrix guard must not reject them).
+        import numpy as np
+
+        from shortseq_tpu.umi import dedup_umis
+
+        labels, reps = dedup_umis(np.array([b"AAAA", b"AAAT", b"GGGG"]),
+                                  threshold=1)
+        assert labels[0] == labels[1] != labels[2]
+        labels2, _ = dedup_umis(np.array(["AAAA", "AAAT"]), threshold=1)
+        assert labels2[0] == labels2[1]
