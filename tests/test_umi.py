@@ -274,8 +274,9 @@ class TestDedupReadsRegressions:
         idx = rng.integers(0, 300, size=5000)
         reads = [mols[i].tobytes() for i in idx]
 
+        if dd._unique_rows(np.zeros((2, 4), np.uint8)) is None:
+            pytest.skip("native library unavailable; no fast path to diff")
         fast = dd.dedup_reads(reads, len_5p=5, len_3p=len_3p)
-        assert dd._unique_rows(np.zeros((2, 4), np.uint8)) is not None
         monkeypatch.setattr(dd, "_unique_rows", lambda mat: None)
         slow = dd.dedup_reads(reads, len_5p=5, len_3p=len_3p)
         assert (fast[0] == slow[0]).all()
