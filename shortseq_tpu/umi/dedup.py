@@ -252,11 +252,11 @@ def _dense_rows_device(sel_words, sel_lengths, sel_gids, sel_rows,
 def _neighbor_all_device(words, lengths, gids, threshold: int, k: int,
                          block: int):
     """Whole adjacency in ONE compiled program: lax.map over row blocks,
-    each [block, U] distance slab reduced to top-k indices before the
-    next block starts.  One dispatch + one fetch for the entire matrix -
-    the per-block dispatch loop this replaces spent ~60 ms of tunnel
-    round-trips per block (~10-15 s at U = 100k) on ~1 ms of kernel
-    compute."""
+    each [block, U] distance slab reduced to per-row neighbour indices
+    before the next block starts.  One dispatch + one fetch for the
+    entire matrix - the per-block dispatch loop this replaces spent
+    ~60 ms of tunnel round-trips per block (~10-15 s at U = 100k) on
+    ~1 ms of kernel compute."""
     import jax
     import jax.numpy as jnp
 
