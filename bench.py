@@ -331,9 +331,44 @@ def _try(fn, *args):
         return f"error: {type(e).__name__}: {e}"[:200]
 
 
+def _require_backend(timeout_s=900):
+    """Fail fast (with the JSON report line) if backend init hangs.
+
+    The tunneled backend's init blocks indefinitely when the relay is
+    down (observed: a dead relay wedges jax.devices() forever); a bench
+    that hangs produces NO report, while one that fails produces a
+    diagnosable one."""
+    import threading
+
+    done = threading.Event()
+    state = {}
+
+    def probe():
+        try:
+            state["platform"] = jax.devices()[0].platform
+        except Exception as e:  # pragma: no cover - env-specific
+            state["error"] = f"{type(e).__name__}: {e}"
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or "error" in state:
+        msg = state.get("error", f"backend init exceeded {timeout_s}s "
+                                 "(tunnel down?)")
+        # flush + os._exit: a daemon thread stuck inside PJRT init can
+        # SIGABRT the normal interpreter teardown (docs/ENVIRONMENT.md).
+        print(json.dumps({
+            "metric": "pack_nt_per_s_chip", "value": 0.0, "unit": "nt/s",
+            "vs_baseline": 0.0,
+            "extra": {"backend_error": msg},
+        }), flush=True)
+        import os
+        os._exit(1)
+
+
 def main():
     from shortseq_tpu.utils.warmup import start_transfer_warmup
 
+    _require_backend()
     start_transfer_warmup()
     nt_per_s = _try(bench_pack)
     extra = {
