@@ -122,11 +122,26 @@ def pairwise_hamming_auto(a: jax.Array, b: jax.Array) -> jax.Array:
     warns once and records "jnp-fallback" in LAST_PAIRWISE_PATH - the jnp
     path materializes the [N, M, W] XOR in HBM, so a silent Mosaic
     regression would otherwise degrade UMI clustering with zero signal.
+
+    SHORTSEQ_TPU_PAIRWISE=mxu|pallas|jnp overrides the choice (all three
+    formulations are bit-exact; see ops.hamming.hamming_pairwise_mxu for
+    the one-hot-dot variant).
     """
+    import os
+
     global LAST_PAIRWISE_PATH, _warned_fallback
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    if jax.devices()[0].platform == "tpu":
+    mode = os.environ.get("SHORTSEQ_TPU_PAIRWISE", "")
+    if mode == "mxu":
+        from .hamming import hamming_pairwise_mxu
+
+        LAST_PAIRWISE_PATH = "mxu"
+        return hamming_pairwise_mxu(a, b)
+    if mode == "jnp":
+        LAST_PAIRWISE_PATH = "jnp"
+        return hamming_pairwise(a, b)
+    if jax.devices()[0].platform == "tpu" or mode == "pallas":
         try:
             out = hamming_pairwise_tiled(a, b)
             LAST_PAIRWISE_PATH = "pallas"

@@ -64,3 +64,23 @@ class TestPairwiseTiled:
             for j in range(0, len(seqs), 5):
                 want = sum(a != b for a, b in zip(seqs[i], seqs[j]))
                 assert dist[i, j] == want
+
+
+def test_pairwise_env_override(monkeypatch):
+    # SHORTSEQ_TPU_PAIRWISE selects the formulation; all are bit-exact.
+    import numpy as np
+
+    from shortseq_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 2**32, size=(64, 2), dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, 2**32, size=(48, 2), dtype=np.uint64).astype(np.uint32)
+    base = np.asarray(pk.pairwise_hamming_auto(a, b))
+    monkeypatch.setenv("SHORTSEQ_TPU_PAIRWISE", "mxu")
+    got = np.asarray(pk.pairwise_hamming_auto(a, b))
+    assert pk.LAST_PAIRWISE_PATH == "mxu"
+    assert (got == base).all()
+    monkeypatch.setenv("SHORTSEQ_TPU_PAIRWISE", "jnp")
+    got = np.asarray(pk.pairwise_hamming_auto(a, b))
+    assert pk.LAST_PAIRWISE_PATH == "jnp"
+    assert (got == base).all()
