@@ -5,9 +5,10 @@ Design notes (why these and not others):
 * 2-bit packing is NOT here: ops/bitpack.py formulates the 4:1 lane
   compaction as two bf16 matmuls on constant banded matrices, so the
   whole pack is elementwise VPU work fused into MXU operand reads -
-  measured at ~480 G nt/s on v5e vs a ~850 GB/s raw-stream roofline
-  (~65% of speed-of-light counting write traffic; see docs/PERF.md and
-  benchmarks/pack_variants.py).  Round 1's u8-input path ran at ~26 G nt/s
+  measured (row-folded) at ~724 G nt/s on this chip vs an ~884 G nt/s
+  speed of light (1 B/nt read + 0.25 B/nt write at the 1105 GB/s raw
+  stream), i.e. ~82% of roofline; see docs/PERF.md and
+  benchmarks/pack_fold.py.  Round 1's u8-input path ran at ~26 G nt/s
   because every u8<->u32 bitcast is a cross-lane relayout pass on TPU;
   the earlier in-repo claim that that path was "memory-bandwidth bound"
   was wrong.  Mosaic also rejects the formulations a Pallas pack kernel
