@@ -72,8 +72,9 @@ def _tile_for(w: int) -> int:
     return 256 if w >= 16 else 128
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def _pairwise_tiled(a: jax.Array, b: jax.Array, tile: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _pairwise_tiled(a: jax.Array, b: jax.Array, tile: int,
+                    interpret: bool = False) -> jax.Array:
     n, w = a.shape
     m, _ = b.shape
     grid = (n // tile, m // tile)
@@ -93,6 +94,7 @@ def _pairwise_tiled(a: jax.Array, b: jax.Array, tile: int) -> jax.Array:
             flops=4 * n * m * w, transcendentals=0,
             bytes_accessed=4 * (n * w * (m // tile)
                                 + m * w * (n // tile) + n * m)),
+        interpret=interpret,
     )(a, b)
 
 
@@ -105,14 +107,18 @@ def _pad_rows(x: jax.Array, multiple: int) -> jax.Array:
 
 
 def hamming_pairwise_tiled(a: jax.Array, b: jax.Array,
-                           tile: int | None = None) -> jax.Array:
+                           tile: int | None = None,
+                           interpret: bool = False) -> jax.Array:
     """All-pairs hamming `[N, W] x [M, W] -> [N, M]` via the tiled Pallas
     kernel; inputs are row-padded to the tile internally (tile picked per
-    lane width unless given)."""
+    lane width unless given).  ``interpret=True`` runs the kernel under the
+    Pallas interpreter (any backend) so CI off-TPU still executes the real
+    tiling/index-map/popcount logic rather than only the jnp fallback."""
     n, m = a.shape[0], b.shape[0]
     if tile is None:
         tile = _tile_for(a.shape[1])
-    out = _pairwise_tiled(_pad_rows(a, tile), _pad_rows(b, tile), tile)
+    out = _pairwise_tiled(_pad_rows(a, tile), _pad_rows(b, tile), tile,
+                          interpret=interpret)
     return out[:n, :m]
 
 

@@ -40,6 +40,29 @@ class TestPairwiseTiled:
         want = np.asarray(hamming_pairwise(a, b))
         assert (got == want).all()
 
+    @pytest.mark.parametrize("n,m,w", [(128, 128, 2), (130, 70, 4),
+                                       (64, 64, 6)])
+    def test_interpret_matches_jnp(self, n, m, w):
+        # The Pallas interpreter runs on any backend, so CI off-TPU still
+        # executes the real kernel (tiling, index maps, popcount loop)
+        # instead of only the jnp fallback.
+        from shortseq_tpu.ops import hamming_pairwise, hamming_pairwise_tiled
+
+        a, b = _rand_words(n, w, 1), _rand_words(m, w, 2)
+        got = np.asarray(hamming_pairwise_tiled(a, b, interpret=True))
+        want = np.asarray(hamming_pairwise(a, b))
+        assert (got == want).all()
+
+    @pytest.mark.parametrize("tile", [128, 256])
+    def test_interpret_explicit_tiles(self, tile):
+        from shortseq_tpu.ops import hamming_pairwise, hamming_pairwise_tiled
+
+        a, b = _rand_words(300, 6, 3), _rand_words(300, 6, 4)
+        got = np.asarray(hamming_pairwise_tiled(a, b, tile=tile,
+                                                interpret=True))
+        want = np.asarray(hamming_pairwise(a, b))
+        assert (got == want).all()
+
     def test_auto_records_path(self):
         from shortseq_tpu.ops import pallas_kernels
 
