@@ -72,7 +72,13 @@ static int64_t index_range(const char* buf, int64_t lo, int64_t hi,
     if ((line & 3) == 1) {  // 2nd line of each 4-line record
       if (base + count < cap) {
         starts[base + count] = p - buf;
-        lengths[base + count] = (int32_t)(line_end - p);
+        // Clamp: a >2 GiB "line" (corrupt/binary input) would wrap the
+        // int32 negative and drive ssq_gather_padded's memcpy with a huge
+        // size_t.  INT32_MAX keeps it positive; downstream length guards
+        // (> MAX_VAR_NT) then reject it cleanly.
+        int64_t ll = line_end - p;
+        lengths[base + count] =
+            ll > 0x7FFFFFFF ? 0x7FFFFFFF : (int32_t)ll;
       }
       ++count;
     }
@@ -181,6 +187,8 @@ int32_t ssq_max_length(const int32_t* lengths, int64_t n) {
 // host h parses [sync(h * n / H), sync((h + 1) * n / H)).
 int64_t ssq_fastq_sync(const char* buf, int64_t n, int64_t offset) {
   if (offset <= 0) return 0;
+  if (offset >= n) return n;  // past-the-end offsets would wrap the memchr
+                              // count below to a huge size_t (OOB read)
   // Step to the next line start.
   const char* p = (const char*)memchr(buf + offset - 1, '\n', n - offset + 1);
   while (p) {

@@ -33,17 +33,26 @@ def _build() -> Path | None:
     # falling back.
     import hashlib
 
+    from ..native_build import isa_token
+
     src = _SRC.read_bytes()
-    so_path = _CACHE_DIR / f"libshortseq_io_{hashlib.sha256(src).hexdigest()[:16]}.so"
+    key = f"{hashlib.sha256(src).hexdigest()[:16]}_{isa_token()}"
+    so_path = _CACHE_DIR / f"libshortseq_io_{key}.so"
     if so_path.exists():
         return so_path
+    # Compile to a private temp name and publish with an atomic rename:
+    # a concurrent process must never CDLL a half-written .so, and a g++
+    # killed mid-write must not poison the cache path forever.
+    tmp_path = so_path.with_suffix(f".tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", str(_SRC), "-o", str(so_path),
+        "-pthread", str(_SRC), "-o", str(tmp_path),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, so_path)
     except (OSError, subprocess.SubprocessError):
+        tmp_path.unlink(missing_ok=True)
         return None
     return so_path
 
@@ -60,7 +69,14 @@ def get_lib():
         so_path = _build()
         if so_path is None:
             return None
-        lib = ctypes.CDLL(str(so_path))
+        try:
+            lib = ctypes.CDLL(str(so_path))
+        except OSError:
+            # A corrupt cached library (e.g. truncated by a crash before
+            # the atomic-rename fix) must degrade to the numpy fallback,
+            # not take the process down; drop it so the next run rebuilds.
+            Path(so_path).unlink(missing_ok=True)
+            return None
         c_char_p = ctypes.c_char_p
         i64, i32 = ctypes.c_int64, ctypes.c_int32
         p_i64 = ctypes.POINTER(ctypes.c_int64)

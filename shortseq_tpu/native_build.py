@@ -28,6 +28,26 @@ _module = None
 _tried = False
 
 
+def isa_token() -> str:
+    """Host-ISA component of the cache key.  Builds use -march=native, so
+    a cache directory shared between heterogeneous hosts (NFS $HOME on a
+    multi-host pod) must not serve one host's library to another - the
+    CPU flag set identifies the ISA exactly."""
+    import hashlib
+    import platform
+
+    probe = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    probe += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(probe.encode()).hexdigest()[:8]
+
+
 def _so_path() -> Path:
     # Content-hashed cache key, not mtime: timestamp-preserving deploys
     # (tar -x, rsync -a) would otherwise revive a stale build whose symbol
@@ -36,7 +56,7 @@ def _so_path() -> Path:
 
     tag = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    return _CACHE_DIR / f"_native_{digest}{tag}"
+    return _CACHE_DIR / f"_native_{digest}_{isa_token()}{tag}"
 
 
 def _build() -> Path | None:
@@ -45,13 +65,19 @@ def _build() -> Path | None:
         return so
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     include = sysconfig.get_paths()["include"]
+    # Compile to a private temp name and publish with an atomic rename so
+    # a concurrent process never loads a half-written extension and a
+    # killed g++ never poisons the cache path.
+    tmp = so.with_suffix(f".tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        f"-I{include}", str(_SRC), "-o", str(so),
+        f"-I{include}", str(_SRC), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        os.replace(tmp, so)
     except (OSError, subprocess.SubprocessError):
+        tmp.unlink(missing_ok=True)
         return None
     return so
 
@@ -84,6 +110,9 @@ def load():
             mod = importlib.util.module_from_spec(spec)
             loader.exec_module(mod)
         except Exception:
+            # A corrupt cached extension must degrade to the pure-Python
+            # layer, and dropping it lets the next run rebuild cleanly.
+            so.unlink(missing_ok=True)
             return None
         _module = mod
         return _module

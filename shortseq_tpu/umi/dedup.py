@@ -52,16 +52,26 @@ def _pack_validate_matrix(mat, lengths):
 
     start_transfer_warmup()
     width = 32
+    n = mat.shape[0]
     if mat.shape[1] != width:
         mat = np.pad(mat, ((0, 0), (0, width - mat.shape[1])))
+    # Pad the row count to a power of two (zero-length rows validate ok)
+    # so the jitted pack program's shape is reused across calls - an
+    # arbitrary unique-UMI count would otherwise recompile per dataset,
+    # at seconds per compile on a remote backend.
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    n_pad = 1 << max(0, (n - 1).bit_length())
+    if n_pad != n:
+        mat = np.pad(mat, ((0, n_pad - n), (0, 0)))
+        lengths = np.pad(lengths, (0, n_pad - n))
     mat = np.ascontiguousarray(mat)
     words, ok = pack_and_validate_rows(mat.view(np.uint32), lengths)
-    ok = np.asarray(ok)
+    ok = np.asarray(ok)[:n]
     if not ok.all():
         i = int(np.argmin(ok))
         bad = mat[i, :lengths[i]].tobytes().decode("ascii", "replace")
         raise Exception(f"{UNSUPPORTED_BASE_MSG} in UMI {bad!r}")
-    return words
+    return words[:n]
 
 
 def _pack_validate_umis(uniq):
@@ -383,10 +393,12 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
     # Empty slots carry the padded row count (max of the score encoding).
     valid = idx < u_pad
 
-    neighbors = [None] * u
-    for r in range(u):
-        # Max-extraction of score u - col yields columns ascending.
-        neighbors[r] = idx[r][valid[r]].copy()
+    # Max-extraction of score u - col yields columns ascending per row;
+    # boolean masking flattens row-major, so one mask + split materializes
+    # every per-row list without a u-iteration Python loop.
+    flat = idx[valid]
+    neighbors = ([] if u == 0 else
+                 np.split(flat, np.cumsum(valid.sum(axis=1))[:-1]))
 
     # Rows with more than k neighbours (error-variant fans on dup-heavy
     # libraries) are re-extracted in fixed-size batches at a larger cap -
@@ -411,7 +423,7 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
             idx2, cnt2 = np.asarray(idx2), np.asarray(cnt2)
             for i, r in enumerate(sel):
                 if cnt2[i] <= k2:
-                    neighbors[r] = idx2[i][idx2[i] < u_pad].copy()
+                    neighbors[r] = idx2[i][idx2[i] < u_pad]
                 else:
                     still.append(r)
         for lo in range(0, len(still), p):

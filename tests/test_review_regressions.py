@@ -135,3 +135,100 @@ class TestCheckpointManifest:
         self._write_fastq(other, reads + [rand_sequence(rng, 20)])
         with pytest.raises(ValueError, match="clear the directory"):
             count_fastq_sharded(other, n_shards=3, config=cfg)
+
+
+class TestSyncBounds:
+    """ssq_fastq_sync must tolerate offsets at/past the end of the buffer
+    (a byte_range hi of "very large" is the natural to-end-of-file call);
+    previously the memchr count wrapped negative -> OOB read."""
+
+    FASTQ = b"@r0\nACGT\n+\nIIII\n@r1\nTTTT\n+\nIIII\n"
+
+    def test_native_sync_past_end(self):
+        from shortseq_tpu.io.native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            pytest.skip("native io library unavailable")
+        n = len(self.FASTQ)
+        for off in (n, n + 1, n + 1000, 10**12):
+            assert lib.ssq_fastq_sync(self.FASTQ, n, off) == n
+        # Python twin agrees.
+        from shortseq_tpu.io.fastq import fastq_sync
+
+        for off in (n, n + 1, n + 1000):
+            assert fastq_sync(self.FASTQ, off) == n
+
+    def test_read_range_to_huge_hi(self, tmp_path):
+        from shortseq_tpu.io import read_fastq_matrix
+
+        f = tmp_path / "r.fastq"
+        f.write_bytes(self.FASTQ)
+        mat, lengths = read_fastq_matrix(str(f), byte_range=(0, 10**12))
+        assert len(lengths) == 2
+        assert mat[0, :4].tobytes() == b"ACGT"
+
+
+class TestBuildCacheRobustness:
+    def test_corrupt_cached_so_degrades_and_heals(self, tmp_path, monkeypatch):
+        """A truncated/garbage cached .so must make get_lib return None
+        (numpy fallback) and remove the poisoned file so a later run
+        rebuilds, instead of crashing every future import."""
+        import os
+
+        if os.environ.get("SHORTSEQ_TPU_FORCE_PYTHON") == "1":
+            pytest.skip("native build disabled by SHORTSEQ_TPU_FORCE_PYTHON")
+        import shortseq_tpu.io.native as nat
+
+        monkeypatch.setattr(nat, "_CACHE_DIR", tmp_path)
+        monkeypatch.setattr(nat, "_lib", None)
+        monkeypatch.setattr(nat, "_tried", False)
+        # Plant garbage at the exact cache path _build computes.
+        import hashlib
+
+        from shortseq_tpu.native_build import isa_token
+
+        src = nat._SRC.read_bytes()
+        key = f"{hashlib.sha256(src).hexdigest()[:16]}_{isa_token()}"
+        poisoned = tmp_path / f"libshortseq_io_{key}.so"
+        poisoned.write_bytes(b"not an elf file")
+        assert nat.get_lib() is None
+        assert not poisoned.exists()  # dropped for the next run
+        # A fresh attempt (new process semantics) rebuilds cleanly.
+        monkeypatch.setattr(nat, "_tried", False)
+        lib = nat.get_lib()
+        if lib is not None:  # g++ available: full heal
+            assert lib.ssq_count_lines(b"a\nb\n", 4) == 2
+
+
+class TestUmiPackPadding:
+    @pytest.mark.parametrize("n", [1, 3, 100, 129])
+    def test_pack_validate_matrix_any_n(self, n):
+        """Row-count pow2 padding must not change results (the pad rows are
+        zero-length and sliced off)."""
+        from shortseq_tpu.oracle import blocks_to_lanes, encode_bytes
+        from shortseq_tpu.umi.dedup import _pack_validate_matrix
+
+        rng = np.random.default_rng(n)
+        lengths = rng.integers(1, 13, size=n).astype(np.int32)
+        mat = np.zeros((n, 32), np.uint8)
+        for i, l in enumerate(lengths):
+            mat[i, :l] = np.frombuffer(
+                bytes(rng.choice(list(b"ACGT"), size=l).astype(np.uint8)),
+                np.uint8)
+        words = np.asarray(_pack_validate_matrix(mat, lengths))
+        assert words.shape[0] == n
+        for i in (0, n - 1):
+            want = blocks_to_lanes(
+                encode_bytes(mat[i, :lengths[i]].tobytes()), words.shape[1])
+            assert list(words[i]) == list(want)
+
+    def test_pack_validate_matrix_invalid_raises(self):
+        from shortseq_tpu.umi.dedup import _pack_validate_matrix
+
+        mat = np.zeros((3, 32), np.uint8)
+        mat[0, :4] = np.frombuffer(b"ACGT", np.uint8)
+        mat[1, :4] = np.frombuffer(b"ACNT", np.uint8)
+        mat[2, :4] = np.frombuffer(b"GGGG", np.uint8)
+        with pytest.raises(Exception, match="Unsupported base character"):
+            _pack_validate_matrix(mat, np.array([4, 4, 4], np.int32))
