@@ -121,6 +121,10 @@ class PackedBatch:
         from .ops.bitpack import pack_rows
 
         mat = np.ascontiguousarray(mat, np.uint8)
+        pad = -mat.shape[1] % 16
+        if pad:  # the pack consumes 16-byte lane groups; zero bytes encode
+            # to code 0, the reference's zero-filled tail convention
+            mat = np.ascontiguousarray(np.pad(mat, ((0, 0), (0, pad))))
         return cls(pack_rows(mat.view(np.uint32)),
                    jnp.asarray(lengths, dtype=jnp.int32))
 

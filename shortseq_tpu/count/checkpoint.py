@@ -117,33 +117,52 @@ def completed_shards(directory, host: int):
     return out
 
 
-def merge_tables(paths, n_out: int | None = None):
-    """Merge spilled tables exactly: concatenate + one device unique_count.
-    Returns (u_words, u_lengths, u_counts, n_unique) device arrays."""
+def empty_table(width: int = 1):
+    """Canonical empty device table: the one pad row carries the
+    PAD_LENGTH sentinel (length 0 is a live value - an empty read - and
+    sentinel-filtering consumers would emit it as a phantom key)."""
     import jax.numpy as jnp
 
-    from .device import unique_count
+    from .device import PAD_LENGTH
 
-    words_list, len_list, cnt_list = [], [], []
-    width = 0
-    for p in paths:
-        w, l, c = load_table(p)
-        width = max(width, w.shape[1] if w.size else 0)
-        words_list.append(w)
-        len_list.append(l)
-        cnt_list.append(c)
-    total = sum(len(l) for l in len_list)
+    return (jnp.zeros((1, width), jnp.uint32),
+            jnp.full(1, PAD_LENGTH, jnp.int32),
+            jnp.zeros(1, jnp.int32), jnp.int32(0))
+
+
+def merge_host_tuples(host_tables, n_out: int | None = None):
+    """Merge host (words, lengths, counts) tuples exactly: one zero-padded
+    concat + one device unique_count.  The single concat-and-count helper
+    behind merge_tables and dist.pipeline's merges.
+
+    The concatenated row count is padded to a power of two (>= 256) with
+    PAD_LENGTH rows (weight 0, dropped exactly by unique_count): merge
+    sizes are data-dependent, and an unpadded shape would recompile the
+    large multi-operand sort for virtually every merge."""
+    import jax.numpy as jnp
+
+    from .device import PAD_LENGTH, unique_count
+
+    widths = [w.shape[1] for w, _, _ in host_tables if w.size]
+    width = max(widths) if widths else 1
+    total = sum(len(l) for _, l, _ in host_tables)
     if total == 0:
-        z = jnp.zeros((1, max(width, 1)), jnp.uint32)
-        return z, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.int32(0)
-    words = np.zeros((total, width), np.uint32)
-    lengths = np.empty(total, np.int32)
-    counts = np.empty(total, np.int32)
+        return empty_table(width)
+    total_pad = max(256, 1 << (total - 1).bit_length())
+    words = np.zeros((total_pad, width), np.uint32)
+    lengths = np.full(total_pad, PAD_LENGTH, np.int32)
+    counts = np.zeros(total_pad, np.int32)
     row = 0
-    for w, l, c in zip(words_list, len_list, cnt_list):
+    for w, l, c in host_tables:
         words[row:row + len(l), :w.shape[1]] = w
         lengths[row:row + len(l)] = l
         counts[row:row + len(l)] = c
         row += len(l)
     return unique_count(jnp.asarray(words), jnp.asarray(lengths),
                         jnp.asarray(counts), n_out=n_out)
+
+
+def merge_tables(paths, n_out: int | None = None):
+    """Merge spilled tables exactly: concatenate + one device unique_count.
+    Returns (u_words, u_lengths, u_counts, n_unique) device arrays."""
+    return merge_host_tuples([load_table(p) for p in paths], n_out=n_out)

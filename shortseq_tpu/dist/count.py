@@ -77,8 +77,11 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0,
     (u_words, u_lengths, u_counts, n_unique, overflowed).
 
     With replicate=True the deduplicated disjoint tables are all_gathered
-    once at the end for a replicated result (cheap: no re-sort, plain
-    concatenation - but traffic grows with total uniques).  With
+    once at the end for a replicated result whose live rows are compacted
+    to a prefix (one single-key stable sort on the pad flag - far cheaper
+    than a re-unique - so the result obeys the same prefix contract as
+    count_sharded and is safe for counts_to_host/fetch_table; traffic
+    grows with total uniques).  With
     replicate=False the table stays SHARDED over the mesh (device d holds
     bucket d's uniques; rows are PAD-interleaved, materialize with
     counts_to_host_scattered) - per-device time and memory are then flat
@@ -154,11 +157,17 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0,
             # Keep the table sharded: device d's slab holds bucket d's
             # uniques.  No collective traffic proportional to the table.
             return u_w, u_l, u_c, total, any_overflow
-        # Replicate the (already-disjoint, deduplicated) tables.
+        # Replicate the (already-disjoint, deduplicated) tables, then
+        # compact live rows to a prefix: the gather interleaves each
+        # slab's padding, and prefix consumers (counts_to_host,
+        # fetch_table, pipeline._table_to_host) slice [:n_unique] - they
+        # would silently read slab-0 padding and drop slabs 1+ otherwise.
         g_w = jax.lax.all_gather(u_w, "data", tiled=True)
         g_l = jax.lax.all_gather(u_l, "data", tiled=True)
         g_c = jax.lax.all_gather(u_c, "data", tiled=True)
-        return g_w, g_l, g_c, total, any_overflow
+        perm = jnp.argsort((g_l == PAD_LENGTH).astype(jnp.int32),
+                           stable=True)
+        return g_w[perm], g_l[perm], g_c[perm], total, any_overflow
 
     table_spec = P() if replicate else P("data")
     mapped = shard_map(
@@ -182,14 +191,9 @@ def make_sharded_counter(mesh: Mesh):
 
     def step(ascii_u8, lengths):
         def shard_body(a, l):
-            words = pack_words(a)
             ok = validate(a, l)
-            u_w, u_l, u_c, _ = unique_count(
-                words, l, jnp.ones(a.shape[0], jnp.int32))
-            g_w = jax.lax.all_gather(u_w, "data", tiled=True)
-            g_l = jax.lax.all_gather(u_l, "data", tiled=True)
-            g_c = jax.lax.all_gather(u_c, "data", tiled=True)
-            merged = unique_count(g_w, g_l, g_c)
+            merged = _local_count_and_merge(
+                pack_words(a), l, jnp.ones(a.shape[0], jnp.int32))
             all_ok = jax.lax.all_gather(ok, "data", tiled=True)
             return merged + (all_ok,)
 

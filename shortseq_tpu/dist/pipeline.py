@@ -79,71 +79,64 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
         # so single-shard runs also accept gzip input.
         rng = (lo, hi) if n_shards > 1 else None
         data, starts, lengths = read_fastq_index(filename, byte_range=rng)
-        shard_tables = list(_batched_count_tables(data, starts, lengths,
-                                                  config))
+        # Fetch each batch table as it is produced: device memory stays
+        # O(batch), not O(shard) (the whole point of config.batch_size).
+        host_tables = [_table_to_host(t) for t in
+                       _batched_count_tables(data, starts, lengths, config)]
         if ckpt:
-            merged = _merge_device_tables(shard_tables)
-            save_table(shard_path(ckpt, host, shard), *merged)
-            tables.append(_table_to_host(merged))
+            merged = _merge_host_tuples_device(host_tables)
+            w, l, c = _table_to_host(merged)  # one live-prefix fetch...
+            save_table(shard_path(ckpt, host, shard), w, l, c, len(l))
+            tables.append((w, l, c))          # ...shared with the spill
         else:
-            tables.extend(_table_to_host(t) for t in shard_tables)
+            tables.extend(host_tables)
     return _merge_host_tables(tables)
 
 
 def _table_to_host(table):
+    """Fetch a count table's live prefix to host numpy, raising on
+    n_out overflow and on int32-wrapped (poisoned, count < 0) entries -
+    a poisoned count re-merged with more weight could land positive and
+    pass every later check (unique_count's wrap detection promises every
+    materialization path raises)."""
+    import jax
+
+    from ..count.device import fetch_table
+
     u_words, u_lengths, u_counts, n_unique = table
-    n = int(n_unique)
-    u_lengths = np.asarray(u_lengths)
-    if n > len(u_lengths):
-        raise ValueError(
-            f"count table overflow: {n} unique keys but only "
-            f"{len(u_lengths)} output rows (n_out too small)")
-    return (np.asarray(u_words)[:n], u_lengths[:n], np.asarray(u_counts)[:n])
-
-
-def _merge_device_tables(tables):
-    """Merge a list of same-width device tables into one."""
-    import jax.numpy as jnp
-
-    from ..count import unique_count
-
-    if len(tables) == 1:
-        return tables[0]
-    host = [_table_to_host(t) for t in tables]
-    return _merge_host_tuples_device(host)
+    if isinstance(u_words, jax.Array):
+        # Live-prefix fetch: never ship the padding rows over the link.
+        w, lens, cnts, _n = fetch_table(u_words, u_lengths, u_counts,
+                                        n_unique)
+    else:
+        n = int(n_unique)
+        lens = np.asarray(u_lengths)
+        if n > len(lens):
+            raise ValueError(
+                f"count table overflow: {n} unique keys but only "
+                f"{len(lens)} output rows (n_out too small)")
+        w, lens, cnts = (np.asarray(u_words)[:n], lens[:n],
+                         np.asarray(u_counts)[:n])
+    if len(cnts) and int(np.asarray(cnts).min()) < 0:
+        raise OverflowError(
+            "count table entry exceeded int32; merge in smaller pieces")
+    return w, lens, cnts
 
 
 def _merge_host_tables(tables):
     if not tables:
-        import jax.numpy as jnp
+        from ..count.checkpoint import empty_table
 
-        z = jnp.zeros((1, 1), jnp.uint32)
-        return z, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.int32(0)
+        return empty_table(1)
     return _merge_host_tuples_device(tables)
 
 
 def _merge_host_tuples_device(host_tables):
-    import jax.numpy as jnp
+    """Concat + one device unique_count (count/checkpoint.py owns the
+    shared implementation: pow2 row padding, PAD sentinels)."""
+    from ..count.checkpoint import merge_host_tuples
 
-    from ..count import unique_count
-
-    widths = [w.shape[1] for w, _, _ in host_tables if w.size]
-    width = max(widths) if widths else 1
-    total = sum(len(l) for _, l, _ in host_tables)
-    if total == 0:
-        z = jnp.zeros((1, width), jnp.uint32)
-        return z, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.int32(0)
-    words = np.zeros((total, width), np.uint32)
-    lengths = np.empty(total, np.int32)
-    counts = np.empty(total, np.int32)
-    row = 0
-    for w, l, c in host_tables:
-        words[row:row + len(l), :w.shape[1]] = w
-        lengths[row:row + len(l)] = l
-        counts[row:row + len(l)] = c
-        row += len(l)
-    return unique_count(jnp.asarray(words), jnp.asarray(lengths),
-                        jnp.asarray(counts))
+    return merge_host_tuples(host_tables)
 
 
 def read_and_count_fastq_distributed(filename, n_shards: int | None = None,

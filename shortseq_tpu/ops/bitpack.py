@@ -112,6 +112,12 @@ def pack_words_u32(x_u32: jax.Array) -> jax.Array:
     zero-filled tail blocks (util.pyx:94, calloc in short_seq_var.pyx:126).
     """
     n, w4 = x_u32.shape
+    if w4 % 4:
+        # _compact_mats floors w4 // 4: the last lanes would be silently
+        # dropped from every packed word (corrupt keys, no error).
+        raise ValueError(
+            f"pack input lane count {w4} is not a multiple of 4 "
+            "(pad the byte matrix to a multiple of 16 columns)")
     b = _codes_byte(x_u32).astype(jnp.bfloat16)     # exact: values 0..255
     p_lo, p_hi = _compact_mats(w4)
     dn = (((1,), (0,)), ((), ()))
@@ -336,6 +342,10 @@ def _pack_folded_raw(x_f: jax.Array, w4: int) -> jax.Array:
     packed lanes (low 16-bit halves from the first fw dot columns, high
     from the rest)."""
     nf, lanes = x_f.shape
+    if w4 % 4:
+        raise ValueError(
+            f"pack input lane count {w4} is not a multiple of 4 "
+            "(pad the byte matrix to a multiple of 16 columns)")
     fold = lanes // w4
     fw = fold * (w4 // 4)
     p, _, _ = _folded_mats(w4, fold)

@@ -232,3 +232,101 @@ class TestUmiPackPadding:
         mat[2, :4] = np.frombuffer(b"GGGG", np.uint8)
         with pytest.raises(Exception, match="Unsupported base character"):
             _pack_validate_matrix(mat, np.array([4, 4, 4], np.int32))
+
+
+class TestPoisonedCountsPropagation:
+    def test_table_to_host_raises_on_poisoned_count(self):
+        """A wrapped (poisoned, -1) count must raise at the shard merge,
+        not be silently re-merged into a plausible positive value."""
+        import jax.numpy as jnp
+
+        from shortseq_tpu.dist.pipeline import _table_to_host
+
+        table = (jnp.zeros((4, 2), jnp.uint32),
+                 jnp.array([4, 4, 2147483647, 2147483647], jnp.int32),
+                 jnp.array([3, -1, 0, 0], jnp.int32), jnp.int32(2))
+        with pytest.raises(OverflowError, match="int32"):
+            _table_to_host(table)
+        # numpy-tuple path too (table_to_counter's device_get route)
+        with pytest.raises(OverflowError, match="int32"):
+            _table_to_host((np.zeros((4, 2), np.uint32),
+                            np.array([4, 4, 0, 0], np.int32),
+                            np.array([3, -1, 0, 0], np.int32), 2))
+
+
+class TestEmptyMergeSentinel:
+    def test_empty_merge_rows_are_pad_sentinel(self):
+        """The empty-table pad row must carry PAD_LENGTH, not length 0
+        (a live value: the empty read) - sentinel-filtering consumers
+        would emit a phantom key otherwise."""
+        from shortseq_tpu.count.device import (PAD_LENGTH,
+                                               counts_to_host_scattered)
+        from shortseq_tpu.dist.pipeline import _merge_host_tables
+
+        w, lens, c, n = _merge_host_tables([])
+        assert int(n) == 0
+        assert int(np.asarray(lens)[0]) == int(PAD_LENGTH)
+        assert counts_to_host_scattered(w, lens, c) == []
+
+
+class TestPackWidthContract:
+    def test_non_multiple_of_4_lanes_raises(self):
+        import jax.numpy as jnp
+
+        from shortseq_tpu.ops.bitpack import pack_words_u32
+
+        with pytest.raises(ValueError, match="multiple of 4"):
+            pack_words_u32(jnp.zeros((2, 6), jnp.uint32))
+
+    def test_from_matrix_pads_odd_width(self):
+        """A 24-column byte matrix (multiple of 4, not of 16) must pack
+        every nucleotide, not silently drop columns 17-24."""
+        from shortseq_tpu.batch import PackedBatch, pack_batch
+
+        seq = "ACGTACGTACGTACGTTGCATGCA"  # 24 nt
+        mat = np.frombuffer(seq.encode(), np.uint8).reshape(1, 24)
+        b = PackedBatch.from_matrix(mat, np.array([24], np.int32))
+        assert b.decode() == [seq]
+        ref = pack_batch([seq])
+        assert b.hamming(ref).tolist() == [0]
+
+
+class TestBucketedReplicatedPrefix:
+    def test_replicated_bucketed_table_is_prefix_contiguous(self):
+        """count_sharded_bucketed(replicate=True) must satisfy the same
+        prefix contract as count_sharded: slicing [:n_unique] (what
+        counts_to_host and pipeline._table_to_host do) must see every
+        live row, not slab-0 padding."""
+        import collections
+
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+        import jax.numpy as jnp
+
+        from shortseq_tpu.count.device import counts_to_host
+        from shortseq_tpu.dist import count_sharded_bucketed, data_mesh
+        from shortseq_tpu.ops.bitpack import pack_words
+
+        rng = np.random.default_rng(7)
+        seqs = ["".join(rng.choice(list("ACGT"), size=8)) for _ in range(16)]
+        reads = [seqs[i] for i in rng.integers(0, 16, size=64)]
+        mat = np.zeros((64, 16), np.uint8)
+        for i, s in enumerate(reads):
+            mat[i, :8] = np.frombuffer(s.encode(), np.uint8)
+        words = pack_words(jnp.asarray(mat))
+        lengths = jnp.full(64, 8, jnp.int32)
+        step = count_sharded_bucketed(data_mesh())
+        u_w, u_l, u_c, n_u, overflow = step(
+            words, lengths, jnp.ones(64, jnp.int32))
+        assert not bool(overflow)
+        got = dict(counts_to_host(u_w, u_l, u_c, n_u))
+
+        def key(s):
+            from shortseq_tpu.oracle import encode_bytes
+            return (len(s), tuple(encode_bytes(s.encode())))
+
+        want = {key(s): c for s, c in
+                collections.Counter(reads).items()}
+        assert got == want
