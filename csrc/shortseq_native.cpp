@@ -296,6 +296,21 @@ static PyObject* ss_richcompare(PyObject* self, PyObject* other, int op) {
 
 static Py_ssize_t ss_len(PyObject* self) { return get_length(self); }
 
+// Bounds-checked 1-nt ShortSeq64 at `index` (reference _subscript
+// short_seq.pyx:78-91); shared by the mapping and sequence slots.
+static PyObject* make_base(const uint64_t* blocks, Py_ssize_t length,
+                           Py_ssize_t index) {
+  if (index < 0 || index >= length) {
+    PyErr_SetString(PyExc_IndexError, "Sequence index out of range");
+    return nullptr;
+  }
+  SS64* o = PyObject_New(SS64, &SS64_Type);
+  if (!o) return nullptr;
+  o->packed = (blocks[index / kNtPerBlock] >> (2 * (index % kNtPerBlock))) & 3;
+  o->length = 1;
+  return (PyObject*)o;
+}
+
 static PyObject* ss_subscript(PyObject* self, PyObject* item) {
   uint64_t scratch;
   const uint64_t* blocks = get_blocks(self, &scratch);
@@ -324,17 +339,7 @@ static PyObject* ss_subscript(PyObject* self, PyObject* item) {
     Py_ssize_t index = PyLong_AsSsize_t(item);
     if (index == -1 && PyErr_Occurred()) return nullptr;
     if (index < 0) index += length;
-    if (index < 0 || index >= length) {
-      PyErr_SetString(PyExc_IndexError, "Sequence index out of range");
-      return nullptr;
-    }
-    // 1-nt ShortSeq64 (reference _subscript short_seq.pyx:78-91)
-    SS64* o = PyObject_New(SS64, &SS64_Type);
-    if (!o) return nullptr;
-    o->packed =
-        (blocks[index / kNtPerBlock] >> (2 * (index % kNtPerBlock))) & 3;
-    o->length = 1;
-    return (PyObject*)o;
+    return make_base(blocks, length, index);
   }
   PyErr_Format(PyExc_TypeError, "Invalid index type: %R", (PyObject*)Py_TYPE(item));
   return nullptr;
@@ -347,16 +352,7 @@ static PyObject* ss_seq_item(PyObject* self, Py_ssize_t index) {
   // go through mp_subscript instead (mapping slot wins).
   uint64_t scratch;
   const uint64_t* blocks = get_blocks(self, &scratch);
-  Py_ssize_t length = get_length(self);
-  if (index < 0 || index >= length) {
-    PyErr_SetString(PyExc_IndexError, "Sequence index out of range");
-    return nullptr;
-  }
-  SS64* o = PyObject_New(SS64, &SS64_Type);
-  if (!o) return nullptr;
-  o->packed = (blocks[index / kNtPerBlock] >> (2 * (index % kNtPerBlock))) & 3;
-  o->length = 1;
-  return (PyObject*)o;
+  return make_base(blocks, get_length(self), index);
 }
 
 static PyObject* ss_xor(PyObject* self, PyObject* other) {
@@ -534,6 +530,15 @@ static PyObject* py_from_blocks(PyObject*, PyObject* args) {
   Py_ssize_t nb = PySequence_Fast_GET_SIZE(fast);
   uint64_t blocks[kMaxVar / kNtPerBlock] = {0};
   Py_ssize_t need = blocks_for(length);
+  if (nb < need && length > 0) {
+    // Zero-filling missing blocks would fabricate 'A' bases; stay loud
+    // and backend-identical (api/seq.from_blocks raises the same).
+    PyErr_Format(PyExc_ValueError,
+                 "from_blocks: %zd blocks given, %zd needed for length %zd",
+                 nb, need, length);
+    Py_DECREF(fast);
+    return nullptr;
+  }
   for (Py_ssize_t i = 0; i < nb && i < need; ++i) {
     blocks[i] = PyLong_AsUnsignedLongLongMask(
         PySequence_Fast_GET_ITEM(fast, i));
@@ -543,6 +548,12 @@ static PyObject* py_from_blocks(PyObject*, PyObject* args) {
     }
   }
   Py_DECREF(fast);
+  // Mask bits above 2*length in the last block: stray garbage there
+  // would make hash/eq disagree with pack() of the same decoded string
+  // (hash IS the packed word), silently splitting Counter keys.
+  Py_ssize_t rem = length % kNtPerBlock;
+  if (length > 0 && rem)
+    blocks[need - 1] &= (~0ull) >> (64 - 2 * rem);
   return make_from_blocks(blocks, length);
 }
 
@@ -663,6 +674,13 @@ static PyObject* row_to_seq(const uint32_t* lanes, Py_ssize_t n_lanes,
                             Py_ssize_t length) {
   if (length < 0 || length > kMaxVar) {
     PyErr_Format(PyExc_ValueError, "invalid row length %zd", length);
+    return nullptr;
+  }
+  if (length > n_lanes * 16) {  // truncated/width-mismatched table: the
+    // zero-filled missing lanes would decode as fabricated 'A' bases
+    PyErr_Format(PyExc_ValueError,
+                 "row length %zd exceeds table capacity (%zd lanes = %zd nt)",
+                 length, n_lanes, n_lanes * 16);
     return nullptr;
   }
   uint64_t blocks[kMaxVar / kNtPerBlock] = {0};

@@ -79,17 +79,33 @@ def update_counter_from_host_table(counter, words, lengths, counts) -> None:
     from ..native_build import load as _load_native
 
     counts = np.asarray(counts)
+    # Counts must be signed integers BEFORE the negative check: the native
+    # table view reinterprets the buffer bitwise, so a uint32 2^31 (or a
+    # float) would silently wrap/scramble.  Unsigned widens exactly.
+    if not np.issubdtype(counts.dtype, np.integer):
+        raise TypeError(f"counts must be an integer array, got {counts.dtype}")
+    if np.issubdtype(counts.dtype, np.unsignedinteger):
+        counts = counts.astype(np.int64)
     # int32 device counts that wrapped negative must fail loudly, on every
     # backend (see count/device._rows_to_table).
     if counts.size and int(counts.min()) < 0:
         raise OverflowError(
             "count table entry exceeded int32; merge in smaller pieces")
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    lengths64 = np.asarray(lengths, dtype=np.int64)
+    # A length beyond the table's lane capacity would materialize keys
+    # with fabricated 'A' tail bases (truncated/width-mismatched table).
+    if lengths64.size and (int(lengths64.min()) < 0
+                           or int(lengths64.max()) > 16 * words.shape[1]):
+        raise ValueError(
+            f"table row length out of range for {words.shape[1]} lanes "
+            f"(lengths span [{lengths64.min()}, {lengths64.max()}], "
+            f"capacity {16 * words.shape[1]} nt)")
     native = _load_native()
     if native is not None and hasattr(native, "update_from_table"):
         native.update_from_table(
-            counter,
-            np.ascontiguousarray(words, dtype=np.uint32),
-            np.ascontiguousarray(lengths, dtype=np.int32),
+            counter, words,
+            np.ascontiguousarray(lengths64, dtype=np.int32),
             np.ascontiguousarray(counts))
         return
     from ..count.device import _rows_to_table

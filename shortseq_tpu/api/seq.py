@@ -145,6 +145,11 @@ class ShortSeq64:
         oracle.check_same_length(self._length, other._length)
         return oracle.hamming_blocks((self._packed,), (other._packed,), self._length)
 
+    # Reflected form (e.g. 5 ^ seq): the native extension's nb_xor slot
+    # handles both directions with the same TypeError; match it here
+    # instead of Python's default unsupported-operand message.
+    __rxor__ = __xor__
+
     def __str__(self):
         return oracle.decode_blocks((self._packed,), self._length)
 
@@ -187,6 +192,11 @@ class ShortSeq192:
                 f"got {type(other).__name__})")
         oracle.check_same_length(self._length, other._length)
         return oracle.hamming_blocks(self._blocks, other._blocks, self._length)
+
+    # Reflected form (e.g. 5 ^ seq): the native extension's nb_xor slot
+    # handles both directions with the same TypeError; match it here
+    # instead of Python's default unsupported-operand message.
+    __rxor__ = __xor__
 
     def __str__(self):
         return oracle.decode_blocks(self._blocks, self._length)
@@ -232,6 +242,11 @@ class ShortSeqVar:
         oracle.check_same_length(self._length, other._length)
         return oracle.hamming_blocks(self._blocks, other._blocks, self._length)
 
+    # Reflected form (e.g. 5 ^ seq): the native extension's nb_xor slot
+    # handles both directions with the same TypeError; match it here
+    # instead of Python's default unsupported-operand message.
+    __rxor__ = __xor__
+
     def __str__(self):
         return oracle.decode_blocks(self._blocks, self._length)
 
@@ -254,9 +269,25 @@ empty._length = 0
 def from_blocks(blocks, length: int):
     """Build a ShortSeq directly from reference uint64 blocks (the device
     count tables' native key format, count/device.py counts_to_host) -
-    no re-encoding, same width dispatch as _new (short_seq.pyx:54-74)."""
+    no re-encoding, same width dispatch as _new (short_seq.pyx:54-74).
+
+    Strict and backend-identical: too few blocks raise (zero-filling
+    would fabricate 'A' bases), and bits above 2*length in the last
+    block are masked (stray garbage would make hash/eq disagree with
+    pack() of the same decoded string - hash IS the packed word)."""
     if length == 0:
         return empty
+    if length > MAX_VAR_NT:
+        raise Exception(TOO_LONG_MSG)
+    need = -(-length // 32)
+    if len(blocks) < need:
+        raise ValueError(
+            f"from_blocks: {len(blocks)} blocks given, {need} needed "
+            f"for length {length}")
+    blocks = tuple(int(b) & 0xFFFFFFFFFFFFFFFF for b in blocks[:need])
+    rem = length % 32
+    if rem:
+        blocks = blocks[:-1] + (blocks[-1] & ((1 << (2 * rem)) - 1),)
     if length <= MAX_64_NT:
         out = ShortSeq64.__new__(ShortSeq64)
         out._packed = blocks[0]
@@ -264,15 +295,13 @@ def from_blocks(blocks, length: int):
         return out
     elif length <= MAX_192_NT:
         out = ShortSeq192.__new__(ShortSeq192)
-        out._blocks = tuple(blocks) + (0,) * (3 - len(blocks))
+        out._blocks = blocks + (0,) * (3 - len(blocks))
         out._length = length
         return out
-    elif length <= MAX_VAR_NT:
-        out = ShortSeqVar.__new__(ShortSeqVar)
-        out._blocks = tuple(blocks)
-        out._length = length
-        return out
-    raise Exception(TOO_LONG_MSG)
+    out = ShortSeqVar.__new__(ShortSeqVar)
+    out._blocks = blocks
+    out._length = length
+    return out
 
 
 def _new(seq_bytes: bytes):

@@ -66,10 +66,14 @@ def _read_range_synced(filename, lo: int, hi: int):
             "byte-range sharding needs random access; gzip streams have "
             "none. Decompress the file once (or use bgzip externally) "
             "before multi-shard/multi-host runs.")
+    if hi < lo:
+        # An inverted range would make f.read(read_hi - base) negative,
+        # i.e. read-to-EOF: the whole file tail instead of an error.
+        raise ValueError(f"inverted byte_range: lo {lo} > hi {hi}")
     size = os.path.getsize(filename)
     lo = max(0, min(lo, size))
     base = max(0, lo - 1)
-    read_hi = min(size, hi + _SYNC_MARGIN)
+    read_hi = min(size, max(hi, lo) + _SYNC_MARGIN)
     with open(filename, "rb") as f:
         f.seek(base)
         return f.read(read_hi - base), base

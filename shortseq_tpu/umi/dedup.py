@@ -563,6 +563,9 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
 
     # 2-D arrays are UMI matrices (one row per UMI); 1-D arrays of
     # str/bytes scalars flow through the generic list path below.
+    matrix_unavailable = False  # the matrix path fails only when the
+    # native library is missing - retrying it with a rebuilt matrix can
+    # never succeed, so remember and skip the second O(N*L) copy pass
     if isinstance(umis, np.ndarray) and umis.ndim == 2:
         if umis.dtype != np.uint8:
             raise TypeError("array input must be a 2-D uint8 UMI matrix")
@@ -572,6 +575,7 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
                                 threshold, _block, mesh)
         if res is not None:
             return res
+        matrix_unavailable = True
         umis = [umis[i].tobytes() for i in range(len(umis))]
 
     norm = [u.encode("ascii") if isinstance(u, str) else bytes(u)
@@ -581,7 +585,8 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
     # hash-count with inverse (vectorized), no per-item Python dict work.
     lengths_all = np.fromiter(map(len, norm), np.int64, len(norm))
     lng = int(lengths_all[0])
-    if lng <= MAX_64_NT and (lengths_all == lng).all():
+    if (not matrix_unavailable and lng <= MAX_64_NT
+            and (lengths_all == lng).all()):
         res = _dedup_umi_matrix(
             np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
             method, threshold, _block, mesh)
@@ -694,6 +699,8 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
 
     # 2-D arrays are read matrices; 1-D arrays of str/bytes scalars
     # flow through the generic list path below.
+    matrix_unavailable = False  # as in dedup_umis: a None from the
+    # matrix path means no native library; a retry cannot succeed
     if isinstance(reads, np.ndarray) and reads.ndim == 2:
         if reads.dtype != np.uint8:
             raise TypeError("array input must be a 2-D uint8 read matrix")
@@ -707,6 +714,7 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
         if res is not None:
             return res
         # No native library: fall through via a bytes list.
+        matrix_unavailable = True
         reads = [reads[i].tobytes() for i in range(len(reads))]
 
     norm = [r.encode("ascii") if isinstance(r, str) else bytes(r)
@@ -718,7 +726,8 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     # split/setdefault/Counter loops (measured ~4 us/read -> ~0.1 us).
     lengths_all = np.fromiter(map(len, norm), np.int64, len(norm))
     lng = int(lengths_all[0])
-    if lng >= len_5p + len_3p and (lengths_all == lng).all():
+    if (not matrix_unavailable and lng >= len_5p + len_3p
+            and (lengths_all == lng).all()):
         res = _dedup_reads_matrix(
             np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
             len_5p, len_3p, method, threshold, _block, mesh=mesh)

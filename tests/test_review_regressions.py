@@ -330,3 +330,108 @@ class TestBucketedReplicatedPrefix:
         want = {key(s): c for s, c in
                 collections.Counter(reads).items()}
         assert got == want
+
+
+class TestTableMaterializationGuards:
+    def test_length_beyond_lane_capacity_raises(self):
+        from shortseq_tpu.api.counter import (ShortSeqCounter,
+                                              update_counter_from_host_table)
+
+        c = ShortSeqCounter()
+        words = np.full((1, 2), 0xFFFFFFFF, np.uint32)  # 2 lanes = 32 nt max
+        with pytest.raises(ValueError, match="capacity"):
+            update_counter_from_host_table(
+                c, words, np.array([40], np.int32), np.array([1], np.int32))
+
+    def test_unsigned_counts_widen_exactly(self):
+        from shortseq_tpu.api.counter import (ShortSeqCounter,
+                                              update_counter_from_host_table)
+
+        c = ShortSeqCounter()
+        words = np.zeros((1, 2), np.uint32)
+        words[0, 0] = 0b10010011  # ACGT? any packed word
+        update_counter_from_host_table(
+            c, words, np.array([4], np.int32),
+            np.array([2**31], np.uint32))  # > int32 max, exact in int64
+        [(key, count)] = list(c.items())
+        assert count == 2**31
+
+    def test_float_counts_rejected(self):
+        from shortseq_tpu.api.counter import (ShortSeqCounter,
+                                              update_counter_from_host_table)
+
+        with pytest.raises(TypeError, match="integer"):
+            update_counter_from_host_table(
+                ShortSeqCounter(), np.zeros((1, 2), np.uint32),
+                np.array([4], np.int32), np.array([1.0]))
+
+
+class TestFromBlocksContract:
+    def test_too_few_blocks_raises(self):
+        import shortseq_tpu as sq
+        from shortseq_tpu.api import from_blocks
+
+        with pytest.raises(ValueError, match="blocks given"):
+            from_blocks([0x1], 200)  # 200 nt needs 7 blocks
+
+    def test_stray_high_bits_masked(self):
+        """from_blocks([0xF], 1) must equal pack('G') (low 2 bits = code 3);
+        unmasked stray bits would split Counter keys via hash/eq."""
+        import shortseq_tpu as sq
+        from shortseq_tpu.api import from_blocks
+
+        s = from_blocks([0xF], 1)
+        g = sq.pack("G")
+        assert str(s) == "G"
+        assert s == g and hash(s) == hash(g)
+
+    def test_exact_blocks_round_trip(self):
+        import shortseq_tpu as sq
+        from shortseq_tpu.api import from_blocks
+        from shortseq_tpu.oracle import encode_bytes
+
+        seq = "ACGT" * 30  # 120 nt -> Var class, 4 blocks
+        blocks = encode_bytes(seq.encode())
+        s = from_blocks(blocks, len(seq))
+        assert str(s) == seq and s == sq.pack(seq)
+
+
+class TestReflectedXorParity:
+    def test_int_xor_seq_message(self):
+        import shortseq_tpu as sq
+
+        s = sq.pack("ACGT")
+        with pytest.raises(TypeError, match="incorrect type"):
+            s ^ 5
+        with pytest.raises(TypeError, match="incorrect type"):
+            5 ^ s
+
+
+class TestInvertedByteRange:
+    def test_inverted_range_raises(self, tmp_path):
+        from shortseq_tpu.io import read_fastq_matrix
+
+        f = tmp_path / "r.fastq"
+        f.write_bytes(b"@r0\nACGT\n+\nIIII\n" * 100)
+        with pytest.raises(ValueError, match="inverted"):
+            read_fastq_matrix(str(f), byte_range=(500, 100))
+
+
+class TestDedupMatrixNoRetry:
+    def test_matrix_path_not_retried_after_none(self, monkeypatch):
+        """When the native library is missing the matrix fast path returns
+        None; rebuilding the same matrix from the exploded bytes list and
+        retrying is a guaranteed-futile O(N*L) pass."""
+        import shortseq_tpu.umi.dedup as dd
+
+        calls = {"n": 0}
+
+        def fake_matrix(*a, **k):
+            calls["n"] += 1
+            return None
+
+        monkeypatch.setattr(dd, "_dedup_umi_matrix", fake_matrix)
+        mat = np.tile(np.frombuffer(b"AAAAACGT", np.uint8), (6, 1))
+        labels, reps = dd.dedup_umis(mat, threshold=1, method="unique")
+        assert calls["n"] == 1  # no second attempt
+        assert len(labels) == 6 and reps == [b"AAAAACGT"]
