@@ -142,9 +142,8 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
 
     from ..count import count_batch
     from ..count.device import PAD_LENGTH, fetch_table
-    from ..count.ingest import WIDTH_EDGES
+    from ..count.ingest import WIDTH_EDGES, pack_validate_padded
     from ..oracle import first_invalid_char
-    from ..ops.bitpack import pack_and_validate_rows
     from ..utils.warmup import start_transfer_warmup
 
     # This pipeline fetches device results; overlap the one-time d2h
@@ -160,25 +159,19 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
         rows = np.ascontiguousarray(mat[sel][:, :width]) if mat.shape[1] >= width \
             else np.pad(mat[sel], ((0, 0), (0, width - mat.shape[1])))
         sub_len = lengths[sel].astype(np.int32)
-        # Pad the batch dim to a power of two (>=256) so repeat calls reuse
-        # the compile cache - XLA recompiles per shape, and each compile
-        # costs far more than sorting a few padded rows.  Pad rows carry
-        # PAD_LENGTH and are dropped by unique_count.
         m = len(sub_len)
-        m_pad = max(256, 1 << (m - 1).bit_length())
-        if m_pad != m:
-            rows = np.pad(rows, ((0, m_pad - m), (0, 0)))
-            sub_len = np.pad(sub_len, (0, m_pad - m),
-                             constant_values=PAD_LENGTH)
-        # Pad rows validate with length 0 (all-zero rows are vacuously ok).
-        val_len = np.where(sub_len == PAD_LENGTH, 0, sub_len).astype(np.int32)
-        words, ok = pack_and_validate_rows(
-            np.ascontiguousarray(rows).view(np.uint32), val_len)
-        ok = np.asarray(ok)[:m]
+        # Batch-dim pow2 padding + validation live in one shared helper
+        # (count/ingest.pack_validate_padded); pad rows for unique_count
+        # carry PAD_LENGTH and are dropped.
+        words, ok = pack_validate_padded(rows, sub_len)
         if not ok.all():
             bad_idx = int(np.argmin(ok))
             bad = first_invalid_char(rows[bad_idx][:int(sub_len[bad_idx])])
             raise Exception(f"{UNSUPPORTED_BASE_MSG}: {bad}")
+        m_pad = words.shape[0]
+        if m_pad != m:
+            sub_len = np.pad(sub_len, (0, m_pad - m),
+                             constant_values=PAD_LENGTH)
         table = count_batch(words, jnp.asarray(sub_len))
         u_w, u_l, u_c, n_live = fetch_table(*table)
         update_counter_from_host_table(counts, u_w, u_l, u_c)

@@ -24,6 +24,31 @@ WIDTH_EDGES = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
                (MAX_192_NT, MAX_VAR_NT, 1024)]
 
 
+def pack_validate_padded(rows: np.ndarray, val_lengths: np.ndarray,
+                         min_pad: int = 256):
+    """Device pack + validate of a host byte matrix with the repo's
+    batch-padding rule in ONE place: the row count pads to a power of two
+    (>= min_pad, compile-cache reuse - XLA recompiles per shape) with
+    zero rows whose validation length is 0 (vacuously valid).
+
+    Returns (words [N_pad, width//16] device, ok [N] host bool): words
+    keep the padded batch dim (device consumers want the padded shape);
+    ok is sliced back to the caller's N rows.
+    """
+    from ..ops.bitpack import pack_and_validate_rows
+
+    n, width = rows.shape
+    assert width % 16 == 0
+    val_lengths = np.ascontiguousarray(val_lengths, np.int32)
+    n_pad = max(min_pad, 1 << max(0, (n - 1).bit_length()))
+    if n_pad != n:
+        rows = np.pad(rows, ((0, n_pad - n), (0, 0)))
+        val_lengths = np.pad(val_lengths, (0, n_pad - n))
+    words, ok = pack_and_validate_rows(
+        np.ascontiguousarray(rows).view(np.uint32), val_lengths)
+    return words, np.asarray(ok)[:n]
+
+
 def packed_buckets(data, starts, lengths, batch_size: int | None = None,
                    min_pad: int = 256, pad_pow2: bool = True):
     """Yield (words uint32 [M, width//16], sub_len int32 [M]) per width

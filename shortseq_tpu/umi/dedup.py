@@ -47,7 +47,7 @@ def _pack_validate_matrix(mat, lengths):
     """Pack an [N, <=32] uint8 UMI byte matrix -> ([N, 2] words, validated),
     raising the reference's error on any invalid base."""
     from ..constants import UNSUPPORTED_BASE_MSG
-    from ..ops.bitpack import pack_and_validate_rows
+    from ..count.ingest import pack_validate_padded
     from ..utils.warmup import start_transfer_warmup
 
     start_transfer_warmup()
@@ -55,18 +55,13 @@ def _pack_validate_matrix(mat, lengths):
     n = mat.shape[0]
     if mat.shape[1] != width:
         mat = np.pad(mat, ((0, 0), (0, width - mat.shape[1])))
-    # Pad the row count to a power of two (zero-length rows validate ok)
-    # so the jitted pack program's shape is reused across calls - an
-    # arbitrary unique-UMI count would otherwise recompile per dataset,
-    # at seconds per compile on a remote backend.
+    # Batch-dim pow2 padding + validation live in one shared helper
+    # (count/ingest.pack_validate_padded) - an arbitrary unique-UMI count
+    # would otherwise recompile the pack per dataset, at seconds per
+    # compile on a remote backend.
     lengths = np.ascontiguousarray(lengths, np.int32)
-    n_pad = 1 << max(0, (n - 1).bit_length())
-    if n_pad != n:
-        mat = np.pad(mat, ((0, n_pad - n), (0, 0)))
-        lengths = np.pad(lengths, (0, n_pad - n))
-    mat = np.ascontiguousarray(mat)
-    words, ok = pack_and_validate_rows(mat.view(np.uint32), lengths)
-    ok = np.asarray(ok)[:n]
+    words, ok = pack_validate_padded(np.ascontiguousarray(mat), lengths,
+                                     min_pad=1)
     if not ok.all():
         i = int(np.argmin(ok))
         bad = mat[i, :lengths[i]].tobytes().decode("ascii", "replace")
