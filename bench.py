@@ -186,9 +186,13 @@ def bench_hamming(n=1 << 18, lanes=6, k0=8):
 
 
 def bench_pairwise(n=4096, lanes=2, k0=8):
-    """All-pairs hamming via the tiled Pallas kernel; raises if the kernel
-    path did not run (a Mosaic regression must fail the bench, not
-    silently degrade - VERDICT round 1)."""
+    """All-pairs hamming via the selected formulation (the tiled Pallas
+    kernel by default; SHORTSEQ_TPU_PAIRWISE=mxu|jnp overrides, and the
+    bench then measures THAT path).  Without an override, raises if the
+    kernel path did not run (a Mosaic regression must fail the bench,
+    not silently degrade - VERDICT round 1)."""
+    import os
+
     from shortseq_tpu.ops import pallas_kernels
 
     rng = np.random.default_rng(4)
@@ -197,18 +201,32 @@ def bench_pairwise(n=4096, lanes=2, k0=8):
     b = jnp.asarray(rng.integers(0, 2**32, size=(n, lanes),
                                  dtype=np.uint64).astype(np.uint32))
 
-    # Kernel-path canary outside the loop.
+    # Path canary outside the loop: the auto dispatch must land on the
+    # expected formulation (the override's, else the Pallas kernel).
+    override = os.environ.get("SHORTSEQ_TPU_PAIRWISE", "")
     jax.block_until_ready(pallas_kernels.pairwise_hamming_auto(a[:256], b[:256]))
-    if jax.devices()[0].platform == "tpu" and \
+    if override:
+        if pallas_kernels.LAST_PAIRWISE_PATH != override:
+            raise RuntimeError(
+                f"pairwise override {override!r} not honored: "
+                f"{pallas_kernels.LAST_PAIRWISE_PATH}")
+    elif jax.devices()[0].platform == "tpu" and \
             pallas_kernels.LAST_PAIRWISE_PATH != "pallas":
         raise RuntimeError(
             f"pairwise kernel fell back: {pallas_kernels.LAST_PAIRWISE_PATH}")
+
+    if override == "mxu":
+        from shortseq_tpu.ops.hamming import hamming_pairwise_mxu as pair_fn
+    elif override == "jnp":
+        from shortseq_tpu.ops.hamming import hamming_pairwise as pair_fn
+    else:
+        pair_fn = pallas_kernels.hamming_pairwise_tiled
 
     @jax.jit
     def loop(a_all, b_one, k):
         def body(i, acc):
             x = jax.lax.dynamic_slice_in_dim(a_all, (i % k0) * n, n, 0)
-            return acc + jnp.sum(pallas_kernels.hamming_pairwise_tiled(x, b_one))
+            return acc + jnp.sum(pair_fn(x, b_one))
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     dt = slope_time(loop, (a, b), k_hi=128)
@@ -270,7 +288,10 @@ def bench_end_to_end(n=1_000_000, engine="host"):
     from benchmarks.profile_10m import make_fastq
     from shortseq_tpu.api.counter import read_and_count_fastq
 
-    path = os.path.join(tempfile.mkdtemp(), "bench_e2e.fastq")
+    import shutil
+
+    tmpdir = tempfile.mkdtemp()
+    path = os.path.join(tmpdir, "bench_e2e.fastq")
     try:
         make_fastq(path, n)
         # Two runs, report the better: the first device run pays a one-time
@@ -285,8 +306,7 @@ def bench_end_to_end(n=1_000_000, engine="host"):
             assert sum(counts.values()) == n
         return n / best
     finally:
-        if os.path.exists(path):
-            os.unlink(path)
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def bench_umi_dedup(u=100_000, dup=3):

@@ -27,7 +27,10 @@ def _cmd_count(args) -> int:
         # phase-timing print goes to stderr so stdout stays a clean table.
         with contextlib.redirect_stdout(sys.stderr):
             counts = read_and_count_fastq(args.file, engine=args.engine)
-    except RuntimeError as e:
+    except Exception as e:
+        # The pipeline's user-facing failures are not all RuntimeError:
+        # invalid bases raise the reference's bare Exception, bad paths
+        # raise OSError - all should print cleanly like _cmd_umi's do.
         print(f"error: {e}", file=sys.stderr)
         return 2
 

@@ -27,17 +27,34 @@ def initialize_distributed(**kwargs) -> None:
     """
     import os
 
-    want = bool(kwargs) or any(
-        os.environ.get(v)
-        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                  "MEGASCALE_COORDINATOR_ADDRESS"))
+    env_addr = next((os.environ[v] for v in
+                     ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+                     if os.environ.get(v)), None)
+    want = bool(kwargs) or env_addr is not None \
+        or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if not want:
         return
+    # Idempotency without message matching: jax's double-init errors say
+    # "should only be called once" / "must be called before any JAX
+    # calls", neither containing a stable keyword, so consult the runtime
+    # state directly (with the message check as a fallback if the private
+    # attribute moves).
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    except Exception:
+        pass
+    # jax reads JAX_COORDINATOR_ADDRESS itself; the other marker vars must
+    # be forwarded explicitly or initialize() would auto-detect nothing.
+    if env_addr is not None and "coordinator_address" not in kwargs:
+        kwargs = dict(kwargs, coordinator_address=env_addr)
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # Already initialized (idempotent call) - anything else propagates.
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 

@@ -45,13 +45,15 @@ def phase_timer(name: str, timings: PhaseTimings | None = None,
 @contextlib.contextmanager
 def named_scope(name: str):
     """jax.named_scope passthrough that degrades to a no-op when jax is
-    unavailable (host-only tooling contexts)."""
+    unavailable (host-only tooling contexts).  Only the jax import is
+    guarded - an ImportError raised by the caller's own block must
+    propagate, not re-enter the generator."""
     try:
         import jax
-
-        with jax.named_scope(name):
-            yield
     except ImportError:
+        yield
+        return
+    with jax.named_scope(name):
         yield
 
 

@@ -435,3 +435,83 @@ class TestDedupMatrixNoRetry:
         labels, reps = dd.dedup_umis(mat, threshold=1, method="unique")
         assert calls["n"] == 1  # no second attempt
         assert len(labels) == 6 and reps == [b"AAAAACGT"]
+
+
+class TestNamedScopeExceptionTransparency:
+    def test_importerror_inside_block_propagates(self):
+        from shortseq_tpu.utils.profiling import named_scope
+
+        with pytest.raises(ImportError, match="no_such_module"):
+            with named_scope("x"):
+                raise ImportError("no_such_module")
+
+
+class TestInitializeDistributedIdempotent:
+    def test_double_init_message_tolerated(self, monkeypatch):
+        """jax 0.9's double-init RuntimeError says 'should only be called
+        once' (no 'already'); the guard must treat it as idempotent."""
+        import jax
+
+        from shortseq_tpu.dist import mesh
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:9999")
+
+        def fake_init(**kw):
+            raise RuntimeError("distributed.initialize should only be "
+                               "called once.")
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        # Also defeat the global-state short-circuit so the message path
+        # is what's under test.
+        from jax._src import distributed as _dist
+
+        monkeypatch.setattr(_dist.global_state, "client", None,
+                            raising=False)
+        mesh.initialize_distributed()  # must not raise
+
+    def test_marker_env_forwards_address(self, monkeypatch):
+        import jax
+
+        from shortseq_tpu.dist import mesh
+
+        seen = {}
+
+        def fake_init(**kw):
+            seen.update(kw)
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        from jax._src import distributed as _dist
+
+        monkeypatch.setattr(_dist.global_state, "client", None,
+                            raising=False)
+        mesh.initialize_distributed()
+        assert seen.get("coordinator_address") == "10.0.0.1:1234"
+
+
+class TestCliErrorMessages:
+    def test_count_invalid_base_clean_error(self, tmp_path):
+        import subprocess
+        import sys
+
+        f = tmp_path / "n.fastq"
+        f.write_bytes(b"@r0\nACGNT\n+\nIIIII\n")
+        proc = subprocess.run(
+            [sys.executable, "-m", "shortseq_tpu", "count", str(f)],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+        assert proc.returncode == 2, (proc.returncode, proc.stderr[-500:])
+        assert "error: Unsupported base character" in proc.stderr
+        assert "Traceback" not in proc.stderr
+
+    def test_count_missing_file_clean_error(self):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "shortseq_tpu", "count", "/no/such.fastq"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+        assert proc.returncode == 2
+        assert proc.stderr.startswith("error:") or "\nerror:" in proc.stderr
