@@ -55,6 +55,11 @@ HARNESS = textwrap.dedent("""
       if (ssq_pack_rows(mat.data(), lengths.data(), reads, 16, words.data()))
         return 4;
       if (ssq_fastq_sync(fq.data(), n, 1) == 0) return 5;
+      // Past-the-end offsets previously wrapped the memchr count to a
+      // huge size_t (OOB read) - exactly what ASan is here to catch.
+      if (ssq_fastq_sync(fq.data(), n, n) != n) return 10;
+      if (ssq_fastq_sync(fq.data(), n, n + 1) != n) return 11;
+      if (ssq_fastq_sync(fq.data(), n, (int64_t)1 << 60) != n) return 12;
       // Fused gather+pack must agree with the matrix route.
       std::vector<uint32_t> words2(reads * 1);
       if (ssq_gather_pack(fq.data(), starts.data(), lengths.data(), reads, 16,
