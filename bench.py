@@ -379,7 +379,14 @@ def _require_backend(timeout_s=900):
         print(json.dumps({
             "metric": "pack_nt_per_s_chip", "value": 0.0, "unit": "nt/s",
             "vs_baseline": 0.0,
-            "extra": {"backend_error": msg},
+            "extra": {
+                "backend_error": msg,
+                "note": "TPU backend unreachable at bench time (relay "
+                        "wedge, docs/ENVIRONMENT.md); committed chip "
+                        "measurements from prior runs: README Benchmarks, "
+                        "docs/PERF.md, PROFILE10M_r02.json, "
+                        "UMISCALE_r02.json, UMIREADS_r02.json",
+            },
         }), flush=True)
         import os
         os._exit(1)
