@@ -23,13 +23,18 @@ if _os.environ.get("SHORTSEQ_TPU_NO_CACHE") != "1":
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR",
-                _os.path.expanduser("~/.cache/shortseq_tpu/jax_cache")))
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # Respect an application that already configured the process-wide
+        # cache (programmatically or via env) - an import must not
+        # repoint another library's cache as a side effect.
+        if not (_jax.config.jax_compilation_cache_dir
+                or _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/shortseq_tpu/jax_cache"))
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+            _jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # cache is an optimization, never a requirement
         pass
 

@@ -26,9 +26,6 @@ class PipelineConfig:
     # count path, trading a little sort work for compile-cache hits.
     min_batch_pad: int = 256
 
-    # Mesh axis name for data parallelism.
-    mesh_axis: str = "data"
-
     # Directory for count-table checkpoints (None disables spilling).
     checkpoint_dir: str | None = None
 

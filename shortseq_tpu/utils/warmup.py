@@ -11,6 +11,12 @@ killing a thread inside the PJRT C++ transfer aborts the process - and
 (b) costs nothing in practice, because every caller fetches results and
 therefore waits for the handshake anyway.  This is also why the warmup is
 started lazily from fetching code paths, never at import.
+
+Residual trade-off: a caller that errors out BEFORE its first fetch (e.g.
+a trace-time shape error) leaves interpreter shutdown joining the
+in-flight handshake.  Callers' validation fetches normally precede their
+raises, so the window is small; SHORTSEQ_TPU_NO_WARMUP=1 disables the
+thread entirely for latency-insensitive tooling.
 """
 
 from __future__ import annotations

@@ -52,4 +52,3 @@ class TestConfig:
         from shortseq_tpu.config import DEFAULT_CONFIG
 
         assert DEFAULT_CONFIG.bucket_widths == (32, 96, 1024)
-        assert DEFAULT_CONFIG.mesh_axis == "data"
