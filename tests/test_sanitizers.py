@@ -98,3 +98,78 @@ def test_native_sharder_under_sanitizer(flag, tmp_path):
                          timeout=300)
     assert run.returncode == 0, (run.returncode, run.stderr[-3000:])
     assert "ERROR" not in run.stderr
+
+
+def test_object_extension_under_asan(tmp_path):
+    """The CPython object extension does manual refcounting and raw heap
+    blocks (ShortSeqVar); stress pack/slice/subscript/xor/ingest under
+    AddressSanitizer.  Leak detection stays off (CPython's arena behavior
+    is not the subject); memory errors abort."""
+    import sys
+    import sysconfig
+    import textwrap
+
+    asan_rt = subprocess.run(["g++", "-print-file-name=libasan.so"],
+                             capture_output=True, text=True).stdout.strip()
+    if not asan_rt or "/" not in asan_rt:
+        pytest.skip("libasan unavailable")
+    src = CSRC.parent / "shortseq_native.cpp"
+    so = tmp_path / ("_native_asan"
+                     + (sysconfig.get_config_var("EXT_SUFFIX") or ".so"))
+    inc = sysconfig.get_paths()["include"]
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-fsanitize=address", "-std=c++17", "-shared",
+         "-fPIC", f"-I{inc}", str(src), "-o", str(so)],
+        capture_output=True, text=True, timeout=300)
+    if build.returncode != 0:
+        pytest.skip(f"asan build unavailable: {build.stderr[-200:]}")
+    driver = textwrap.dedent(f"""
+        import importlib.machinery, importlib.util, random
+        loader = importlib.machinery.ExtensionFileLoader(
+            'shortseq_tpu._native', {str(so)!r})
+        spec = importlib.util.spec_from_loader('shortseq_tpu._native', loader)
+        m = importlib.util.module_from_spec(spec); loader.exec_module(m)
+        import numpy as np
+        rng = random.Random(7)
+        keep = []
+        for trial in range(1500):
+            n = rng.randint(0, 1024)
+            s = ''.join(rng.choice('ACGT') for _ in range(n))
+            o = m.pack(s)
+            assert str(o) == s
+            if n:
+                a, b = sorted(rng.randint(0, n) for _ in range(2))
+                assert str(o[a:b]) == s[a:b]
+                _ = o[rng.randint(0, n - 1)]
+                assert (o ^ o) == 0
+                _ = hash(o); _ = repr(o)
+            keep.append(o)
+        try: m.from_blocks([1], 200); raise SystemExit('no raise')
+        except ValueError: pass
+        assert str(m.from_blocks([0xF], 1)) == 'G'
+        d = {{}}
+        m.count_bytes_list(d, [b'ACGT', b'ACGT', b'TTTT'] * 100)
+        assert sum(d.values()) == 300 and len(d) == 2
+        words = np.zeros((4, 2), np.uint32); words[:, 0] = [3, 7, 11, 15]
+        lengths = np.array([4, 8, 12, 16], np.int32)
+        m.update_from_table(d, words, lengths,
+                            np.array([1, 2, 3, 4], np.int64))
+        assert sum(d.values()) == 310
+        try:
+            m.update_from_table(d, words, np.array([40, 4, 4, 4], np.int32),
+                                np.array([1, 1, 1, 1], np.int64))
+            raise SystemExit('no capacity raise')
+        except ValueError: pass
+        assert len(m.seqs_from_rows(words, lengths)) == 4
+        print('EXT-ASAN-OK')
+    """)
+    import os
+
+    env = dict(os.environ, LD_PRELOAD=asan_rt,
+               ASAN_OPTIONS="detect_leaks=0:abort_on_error=1",
+               PYTHONMALLOC="malloc")
+    run = subprocess.run([sys.executable, "-c", driver], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert run.returncode == 0, (run.returncode, run.stderr[-3000:])
+    assert "EXT-ASAN-OK" in run.stdout
+    assert "ERROR: AddressSanitizer" not in run.stderr
