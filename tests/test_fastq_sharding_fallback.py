@@ -181,3 +181,70 @@ def test_crlf_rows_reach_validation_and_raise():
             oracle.encode_bytes(reads[0].encode() + b"\r")
     finally:
         os.unlink(path)
+
+
+class TestParserTwinFuzz:
+    """Differential fuzz of the documented byte-for-byte twin contract:
+    the native sharder and the pure-Python fallback must make identical
+    sync and index decisions on arbitrary (well-formed, corrupt, and
+    random-binary) buffers - shards computed with and without g++ must
+    agree.  4000-trial sweeps ran clean offline; a bounded sweep guards
+    the contract in CI."""
+
+    def _corpus(self, rng, trials):
+        for _ in range(trials):
+            kind = rng.random()
+            if kind < 0.4:
+                parts = []
+                for _ in range(rng.randint(0, 10)):
+                    ln = rng.randint(0, 40)
+                    seq = bytes(rng.choice(b"ACGTN") for _ in range(ln))
+                    parts.append(b"@r\n" + seq + b"\n+\n" + b"J" * ln + b"\n")
+                data = b"".join(parts)
+                if rng.random() < 0.3 and data.endswith(b"\n"):
+                    data = data[:-1]
+            elif kind < 0.7:
+                lines = [bytes(rng.choice(b"ACGT@+!~ ")
+                               for _ in range(rng.randint(0, 20)))
+                         for _ in range(rng.randint(0, 20))]
+                data = b"\n".join(lines) + (b"\n" if rng.random() < 0.5 else b"")
+            else:
+                data = bytes(rng.choice(range(1, 256))
+                             for _ in range(rng.randint(0, 300)))
+            yield data
+
+    def test_sync_twin(self):
+        import random
+
+        from shortseq_tpu.io.fastq import fastq_sync
+        from shortseq_tpu.io.native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            pytest.skip("native io library unavailable")
+        rng = random.Random(99)
+        for data in self._corpus(rng, 300):
+            n = len(data)
+            for off in {0, 1, n // 2, max(0, n - 1), n, n + 7}:
+                assert lib.ssq_fastq_sync(data, n, off) == \
+                    fastq_sync(data, off), (data[:80], off)
+
+    def test_index_twin(self):
+        import random
+
+        from shortseq_tpu.io.fastq import fastq_line_index
+        from shortseq_tpu.io.native import fastq_index_native
+
+        if fastq_index_native(b"") is None:
+            pytest.skip("native io library unavailable")
+        rng = random.Random(5)
+        for data in self._corpus(rng, 300):
+            _, n_starts, n_lens = fastq_index_native(data)
+            buf = np.frombuffer(data, np.uint8)
+            if buf.size == 0:
+                assert len(n_starts) == 0
+                continue
+            s, e = fastq_line_index(buf)
+            assert np.array_equal(np.asarray(n_starts), s.astype(np.int64)), \
+                data[:80]
+            assert np.array_equal(np.asarray(n_lens), (e - s)), data[:80]
