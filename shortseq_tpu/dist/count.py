@@ -50,14 +50,27 @@ def count_sharded(mesh: Mesh):
 
 def _bucket_hash(words, lengths, n_buckets):
     """Cheap uniform bucket id per row from the packed key.  Fibonacci
-    multiplicative hash over the XOR of lanes + length; n_buckets is the
-    mesh size (power of two on TPU meshes)."""
+    multiplicative hash over the XOR of lanes + length, then a
+    multiply-shift range map on the TOP 16 bits: bucket = (h>>16)*D >> 16.
+
+    Why not `(top bits) % D`: for non-power-of-two D the top
+    bit_length(D-1) bits span [0, 2^b) with 2^b > D, so the values that
+    wrap (e.g. 6, 7 for D = 6) alias onto buckets 0, 1 and those buckets
+    get exactly 2x the expected load - CPU meshes and some TPU slice
+    shapes are not powers of two.  The multiply-shift map partitions the
+    16-bit hash space into D equal-width ranges (max imbalance 1 part in
+    65536/D, < 0.1% for any mesh <= 64 devices), and a multiplicative
+    hash concentrates its entropy in the high bits, which are exactly the
+    bits this map consumes.  All arithmetic stays in uint32 (no x64
+    requirement): (h >> 16) < 2^16 and D <= 2^16 keep the product exact.
+    """
+    if not (0 < n_buckets <= 1 << 16):
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
     h = lengths.astype(jnp.uint32)
     for j in range(words.shape[1]):
         h = h ^ words[:, j]
     h = h * jnp.uint32(2654435761)
-    return (h >> jnp.uint32(32 - max(n_buckets - 1, 1).bit_length())) \
-        % jnp.uint32(n_buckets)
+    return ((h >> jnp.uint32(16)) * jnp.uint32(n_buckets)) >> jnp.uint32(16)
 
 
 def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0,

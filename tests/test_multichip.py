@@ -123,6 +123,93 @@ print("SHARDED_UMI_OK")
 """
 
 
+_NONPOW2_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+D = int(sys.argv[1])
+assert len(jax.devices()) == D, jax.devices()
+
+import numpy as np
+import jax.numpy as jnp
+from shortseq_tpu.count import count_batch
+from shortseq_tpu.count.device import counts_to_host, counts_to_host_scattered
+from shortseq_tpu.dist import data_mesh, count_sharded_bucketed
+from shortseq_tpu.ops.bitpack import pack_words
+
+rng = np.random.default_rng(11)
+n = 60 * D  # divisible by the mesh for any D in {3, 6}
+width = 32
+lengths = rng.integers(8, 33, size=n).astype(np.int32)
+codes = rng.integers(0, 3, size=(n, width)).astype(np.uint8)
+ascii_mat = np.frombuffer(b"ACT", dtype=np.uint8)[codes]
+mask = np.arange(width)[None, :] < lengths[:, None]
+ascii_mat = np.where(mask, ascii_mat, 0).astype(np.uint8)
+words = pack_words(jnp.asarray(ascii_mat))
+local = dict(counts_to_host(*count_batch(words, jnp.asarray(lengths))))
+
+mesh = data_mesh()
+ones = jnp.ones(n, jnp.int32)
+for replicate in (True, False):
+    step = count_sharded_bucketed(mesh, replicate=replicate)
+    u_w, u_l, u_c, n_u, overflow = step(words, jnp.asarray(lengths), ones)
+    assert int(overflow) == 0, f"replicate={replicate} overflowed on D={D}"
+    got = dict(counts_to_host_scattered(u_w, u_l, u_c))
+    assert got == local, (replicate, len(got), len(local))
+    assert int(n_u) == len(local)
+print("NONPOW2-OK", D, len(local))
+"""
+
+
+def test_bucketed_count_on_nonpow2_meshes():
+    """D = 3 and D = 6 CPU meshes: both bucketed layouts must stay exact
+    with no overflow (the pre-fix _bucket_hash aliased buckets 0/1 at 2x
+    load for D = 6, risking silent capacity pressure)."""
+    for d in (3, 6):
+        proc = subprocess.run(
+            [sys.executable, "-c", _NONPOW2_SCRIPT, str(d)],
+            env=scrubbed_cpu_env(d),
+            capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert f"NONPOW2-OK {d}" in proc.stdout
+
+
+def test_bucket_hash_uniform_loads():
+    """Bucket loads from _bucket_hash must be near-uniform for every mesh
+    size, not just powers of two (the aliasing bug gave 2x load on
+    buckets 0/1 at D = 6)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from shortseq_tpu.dist.count import _bucket_hash
+
+    rng = np.random.default_rng(3)
+    n = 100_000
+    words = jnp.asarray(rng.integers(0, 2**32, size=(n, 2), dtype=np.uint64)
+                        .astype(np.uint32))
+    lengths = jnp.asarray(rng.integers(8, 33, size=n).astype(np.int32))
+    for d in (2, 3, 5, 6, 8, 12):
+        loads = np.bincount(np.asarray(_bucket_hash(words, lengths, d)),
+                            minlength=d)
+        mean = n / d
+        assert loads.max() < 1.15 * mean, (d, loads.tolist())
+        assert loads.min() > 0.85 * mean, (d, loads.tolist())
+
+
+def test_bucket_hash_rejects_oversized_mesh():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from shortseq_tpu.dist.count import _bucket_hash
+
+    words = jnp.zeros((4, 2), jnp.uint32)
+    lengths = jnp.zeros(4, jnp.int32)
+    with pytest.raises(ValueError, match="n_buckets"):
+        _bucket_hash(words, lengths, (1 << 16) + 1)
+
+
 def test_sharded_umi_adjacency_matches_single_device():
     out = subprocess.run(
         [sys.executable, "-c", _UMI_SCRIPT],
