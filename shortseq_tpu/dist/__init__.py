@@ -8,14 +8,16 @@ mesh axis, with per-shard sort-unique count tables merged by an
 """
 
 from .mesh import data_mesh, initialize_distributed
-from .count import count_sharded, count_sharded_bucketed, make_sharded_counter
+from .count import (ShardedCountTable, count_sharded, count_sharded_auto,
+                    count_sharded_bucketed, make_sharded_counter)
 from .pipeline import (count_fastq_sharded, read_and_count_fastq_distributed,
-                       table_to_counter)
+                       table_to_counter, table_to_host_rows)
 from .umi import neighbors_sharded_step
 
 __all__ = [
     "data_mesh", "initialize_distributed",
-    "count_sharded", "count_sharded_bucketed", "make_sharded_counter",
+    "ShardedCountTable", "count_sharded", "count_sharded_auto",
+    "count_sharded_bucketed", "make_sharded_counter",
     "count_fastq_sharded", "read_and_count_fastq_distributed",
-    "table_to_counter", "neighbors_sharded_step",
+    "table_to_counter", "table_to_host_rows", "neighbors_sharded_step",
 ]

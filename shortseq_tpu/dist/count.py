@@ -14,16 +14,37 @@ the merged table is padded to N * n_devices rows.
 
 from __future__ import annotations
 
-
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..count.device import PAD_LENGTH, unique_count
 from ..ops.bitpack import pack_words, validate
+
+
+class ShardedCountTable(NamedTuple):
+    """A merged count table plus the layout contract its consumers need.
+
+    layout:
+      "prefix"    - live rows form a contiguous [0, n_unique) prefix and
+                    the arrays are replicated (count_sharded's contract);
+                    safe for fetch_table/counts_to_host.
+      "scattered" - live rows are PAD-interleaved and the arrays may be
+                    device-SHARDED over the mesh (count_sharded_bucketed
+                    replicate=False); materialize with
+                    dist.pipeline.table_to_host_rows / table_to_counter,
+                    which handle multi-controller fetches.
+    """
+
+    words: jax.Array
+    lengths: jax.Array
+    counts: jax.Array
+    n_unique: jax.Array
+    layout: str
 
 
 def _local_count_and_merge(words, lengths, weights):
@@ -193,30 +214,70 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0,
     return jax.jit(mapped)
 
 
-def make_sharded_counter(mesh: Mesh):
+def count_sharded_auto(mesh: Mesh, capacity_factor: float = 2.0):
+    """The production merge: scalable bucketed exchange first, exact
+    all_gather fallback on overflow.
+
+    Runs count_sharded_bucketed(replicate=False) - per-device merge work
+    and memory flat in device count - then checks the replicated overflow
+    flag on the host.  If a pathological key skew exceeded the bucket
+    capacity (hash flooding, adversarial inputs), the bucketed result is
+    discarded and the always-exact count_sharded runs instead, honouring
+    the fallback contract documented on count_sharded_bucketed.  The flag
+    is replicated, so every process takes the same branch in
+    multi-controller runs.
+
+    Returns a callable (words [N, W], lengths [N], weights [N]) ->
+    ShardedCountTable; layout is "scattered" on the fast path (table
+    sharded over the mesh) and "prefix" after a fallback (replicated).
+    """
+    bucketed = count_sharded_bucketed(mesh, capacity_factor,
+                                      replicate=False)
+    fallback = None
+
+    def run(words, lengths, weights) -> ShardedCountTable:
+        nonlocal fallback
+        u_w, u_l, u_c, n_u, overflow = bucketed(words, lengths, weights)
+        if int(jax.device_get(overflow)):
+            if fallback is None:
+                fallback = count_sharded(mesh)
+            w2, l2, c2, n2 = fallback(words, lengths, weights)
+            return ShardedCountTable(w2, l2, c2, n2, "prefix")
+        return ShardedCountTable(u_w, u_l, u_c, n_u, "scattered")
+
+    return run
+
+
+def make_sharded_counter(mesh: Mesh, capacity_factor: float = 2.0):
     """Full device pipeline: ASCII read matrix -> packed words -> validity ->
     sharded count (the distributed form of reference counter.pyx:57-71's
-    pipeline).  Returns a jitted fn of (ascii_u8 [N, L], lengths [N]).
+    pipeline).  Returns a callable of (ascii_u8 [N, L], lengths [N]) ->
+    (ShardedCountTable, all_ok [N] bool replicated).
 
-    The returned n_unique is exact; the validity mask is returned so the
-    host can raise the reference's "Unsupported base character" error.
+    Two compiled programs: a sharded pack+validate (elementwise, no
+    collectives beyond the validity gather), then the count_sharded_auto
+    merge - bucketed exchange with the overflow fallback, so the per-device
+    merge work users actually hit is flat in device count.  The validity
+    mask comes back replicated so any host can raise the reference's
+    "Unsupported base character" error with the offending read index.
     """
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def prep(ascii_u8, lengths):
+        words = pack_words(ascii_u8)
+        ok = validate(ascii_u8, lengths)
+        return (jax.lax.with_sharding_constraint(words, data),
+                jax.lax.with_sharding_constraint(ok, repl))
+
+    counter = count_sharded_auto(mesh, capacity_factor)
 
     def step(ascii_u8, lengths):
-        def shard_body(a, l):
-            ok = validate(a, l)
-            merged = _local_count_and_merge(
-                pack_words(a), l, jnp.ones(a.shape[0], jnp.int32))
-            all_ok = jax.lax.all_gather(ok, "data", tiled=True)
-            return merged + (all_ok,)
+        ascii_u8 = jax.device_put(jnp.asarray(ascii_u8), data)
+        lengths = jax.device_put(jnp.asarray(lengths), data)
+        words, ok = prep(ascii_u8, lengths)
+        table = counter(words, lengths, jnp.ones(words.shape[0], jnp.int32))
+        return table, ok
 
-        mapped = shard_map(
-            shard_body,
-            mesh=mesh,
-            in_specs=(P("data"), P("data")),
-            out_specs=(P(), P(), P(), P(), P()),
-            check_vma=False,
-        )
-        return mapped(ascii_u8, lengths)
-
-    return jax.jit(step)
+    return step

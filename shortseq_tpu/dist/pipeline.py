@@ -94,16 +94,33 @@ def count_fastq_sharded(filename, n_shards: int = 1, host: int = 0,
 
 
 def _table_to_host(table):
-    """Fetch a count table's live prefix to host numpy, raising on
-    n_out overflow and on int32-wrapped (poisoned, count < 0) entries -
-    a poisoned count re-merged with more weight could land positive and
-    pass every later check (unique_count's wrap detection promises every
-    materialization path raises)."""
+    """Fetch a count table to host numpy, raising on n_out overflow and on
+    int32-wrapped (poisoned, count < 0) entries - a poisoned count
+    re-merged with more weight could land positive and pass every later
+    check (unique_count's wrap detection promises every materialization
+    path raises).
+
+    Accepts plain (w, l, c, n) prefix tables (device or host) and
+    ShardedCountTable; "scattered" layouts - PAD-interleaved rows, the
+    arrays possibly device-sharded over the mesh - route through
+    _scattered_to_host, which handles multi-controller fetches."""
     import jax
 
+    from .count import ShardedCountTable
     from ..count.device import fetch_table
 
-    u_words, u_lengths, u_counts, n_unique = table
+    if isinstance(table, ShardedCountTable) and table.layout == "scattered":
+        w, lens, cnts = _scattered_to_host(table.words, table.lengths,
+                                           table.counts)
+        if len(cnts) != int(jax.device_get(table.n_unique)):
+            raise ValueError(
+                f"scattered table live rows ({len(cnts)}) disagree with "
+                f"n_unique ({int(jax.device_get(table.n_unique))})")
+        if len(cnts) and int(np.asarray(cnts).min()) < 0:
+            raise OverflowError(
+                "count table entry exceeded int32; merge in smaller pieces")
+        return w, lens, cnts
+    u_words, u_lengths, u_counts, n_unique = table[:4]
     if isinstance(u_words, jax.Array):
         # Live-prefix fetch: never ship the padding rows over the link.
         w, lens, cnts, _n = fetch_table(u_words, u_lengths, u_counts,
@@ -121,6 +138,58 @@ def _table_to_host(table):
         raise OverflowError(
             "count table entry exceeded int32; merge in smaller pieces")
     return w, lens, cnts
+
+
+def _scattered_to_host(words, lengths, counts):
+    """Host arrays of a scattered-layout table's live rows.
+
+    Single-process (or fully-replicated) arrays: one device_get + PAD
+    filter.  Multi-controller sharded arrays: each process fetches only
+    its addressable shards (buckets are disjoint, so local live rows are
+    globally unique keys with final counts), then the per-host slabs are
+    exchanged with process_allgather so every process returns the
+    identical full table - the host-side analog of the all_gather the
+    replicate=True layout would have paid on device."""
+    import jax
+
+    from ..count.device import PAD_LENGTH
+
+    def _live(w, l, c):
+        keep = np.flatnonzero(np.asarray(l) != int(PAD_LENGTH))
+        return (np.asarray(w)[keep], np.asarray(l)[keep],
+                np.asarray(c)[keep])
+
+    if not isinstance(words, jax.Array) or words.is_fully_addressable:
+        return _live(*jax.device_get((words, lengths, counts)))
+
+    def _local(x):
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    from jax.experimental import multihost_utils
+
+    w, l, c = _live(_local(words), _local(lengths), _local(counts))
+    rows = multihost_utils.process_allgather(
+        np.asarray([len(l)], np.int64))
+    max_rows = int(rows.max())
+    pad = max_rows - len(l)
+    w_pad = np.pad(w, ((0, pad), (0, 0)))
+    l_pad = np.pad(l, (0, pad), constant_values=int(PAD_LENGTH))
+    c_pad = np.pad(c, (0, pad))
+    g_w = multihost_utils.process_allgather(w_pad)
+    g_l = multihost_utils.process_allgather(l_pad)
+    g_c = multihost_utils.process_allgather(c_pad)
+    return _live(g_w.reshape(-1, w.shape[1]), g_l.reshape(-1),
+                 g_c.reshape(-1))
+
+
+def table_to_host_rows(table):
+    """Materialize any count table (prefix or scattered, replicated or
+    mesh-sharded) as [((length, blocks64 tuple), count), ...] host rows -
+    the layout-agnostic consumption path for merged tables."""
+    from ..count.device import _rows_to_table
+
+    return _rows_to_table(*_table_to_host(table))
 
 
 def _merge_host_tables(tables):
@@ -144,15 +213,19 @@ def read_and_count_fastq_distributed(filename, n_shards: int | None = None,
     """Multi-host entry point: every host calls this with the same
     filename; host h parses and counts its byte-range shards locally, then
     the per-host tables are merged exactly with one collective pass over
-    the global `data` mesh (count_sharded: all_gather of deduplicated
-    tables + re-unique).  Returns the replicated merged device table.
+    the global `data` mesh.  The merge is count_sharded_auto: the scalable
+    bucketed all_to_all exchange (per-device merge work flat in device
+    count, table stays sharded) with the exact all_gather strategy as the
+    implemented overflow fallback.  Returns a ShardedCountTable; consume
+    it with table_to_counter / table_to_host_rows, which handle both
+    layouts in multi-controller runs.
 
     Single-process runs degenerate to count_fastq_sharded with no merge,
     so this is also the simplest correct entry point everywhere.
     """
     import jax
 
-    from .count import count_sharded
+    from .count import ShardedCountTable, count_sharded_auto
     from .mesh import data_mesh, initialize_distributed
 
     initialize_distributed()
@@ -162,7 +235,7 @@ def read_and_count_fastq_distributed(filename, n_shards: int | None = None,
     local = count_fastq_sharded(filename, n_shards=n_shards, host=host,
                                 n_hosts=n_hosts, config=config)
     if n_hosts == 1:
-        return local
+        return ShardedCountTable(*local, "prefix")
 
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
@@ -194,19 +267,18 @@ def read_and_count_fastq_distributed(filename, n_shards: int | None = None,
     g_w = jax.make_array_from_process_local_data(sharding, w_pad)
     g_l = jax.make_array_from_process_local_data(sharding, l_pad)
     g_c = jax.make_array_from_process_local_data(sharding, c_pad)
-    return count_sharded(mesh)(g_w, g_l, g_c)
+    return count_sharded_auto(mesh)(g_w, g_l, g_c)
 
 
 def table_to_counter(table):
     """Merged device table -> reference-identical ShortSeqCounter (one
     native call for the whole table, api.counter.update_counter_from_host_table).
     Routes through _table_to_host so an n_out-too-small table raises the
-    overflow error instead of silently dropping keys."""
-    import jax
-
+    overflow error instead of silently dropping keys, and so scattered /
+    mesh-sharded layouts (ShardedCountTable) materialize correctly."""
     from ..api.counter import ShortSeqCounter, update_counter_from_host_table
 
     out = ShortSeqCounter()
-    w, l, c = _table_to_host(jax.device_get(table))
+    w, l, c = _table_to_host(table)
     update_counter_from_host_table(out, w, l, c)
     return out

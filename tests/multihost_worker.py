@@ -28,19 +28,22 @@ def main():
 
     assert jax.process_count() == n_procs, jax.process_count()
 
-    from shortseq_tpu.count.device import counts_to_host_scattered
-    from shortseq_tpu.dist.pipeline import read_and_count_fastq_distributed
-    from shortseq_tpu.oracle import decode_blocks, lanes_to_blocks
+    from shortseq_tpu.dist.pipeline import (read_and_count_fastq_distributed,
+                                            table_to_host_rows)
+    from shortseq_tpu.oracle import decode_blocks
 
     # More shards than hosts exercises the round-robin shard loop; the
-    # merged table is replicated, so every process can materialize it.
+    # merged table is mesh-SHARDED (bucketed production merge,
+    # layout="scattered"), so materialization exercises the
+    # multi-controller addressable-shards + process_allgather path.
     table = read_and_count_fastq_distributed(fastq, n_shards=2 * n_procs + 1)
-    u_w, u_l, u_c, n_u = table
-    rows = counts_to_host_scattered(u_w, u_l, u_c)
+    assert table.layout == "scattered", table.layout
+    rows = table_to_host_rows(table)
     result = {}
     for (length, blocks), count in rows:
         seq = decode_blocks(blocks, length)
         result[seq] = result.get(seq, 0) + count
+    n_u = table.n_unique
     assert len(result) == int(n_u), (len(result), int(n_u))
     with open(out_path, "w") as f:
         json.dump(result, f, sort_keys=True)

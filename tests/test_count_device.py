@@ -149,8 +149,11 @@ class TestShardedCount:
 
         mesh = data_mesh()
         step = make_sharded_counter(mesh)
-        u_w, u_l, u_c, n_unique, ok = step(jnp.asarray(mat), jnp.asarray(lengths))
+        table, ok = step(jnp.asarray(mat), jnp.asarray(lengths))
         assert bool(jnp.all(ok))
-        got = {_decode_key(k): v
-               for k, v in _table_to_dict(u_w, u_l, u_c, n_unique).items()}
+        assert table.layout == "scattered"  # bucketed fast path taken
+        from shortseq_tpu.dist import table_to_host_rows
+
+        got = {_decode_key(k): v for k, v in table_to_host_rows(table)}
         assert got == dict(collections.Counter(seqs))
+        assert int(table.n_unique) == len(got)

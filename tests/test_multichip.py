@@ -36,10 +36,14 @@ ascii_mat = np.frombuffer(b"ACT", dtype=np.uint8)[codes]
 mask = np.arange(width)[None, :] < lengths[:, None]
 ascii_mat = np.where(mask, ascii_mat, 0).astype(np.uint8)
 
+from shortseq_tpu.dist import table_to_host_rows
+
 step = make_sharded_counter(data_mesh())
-u_w, u_l, u_c, n_u, ok = step(jnp.asarray(ascii_mat), jnp.asarray(lengths))
+table, ok = step(jnp.asarray(ascii_mat), jnp.asarray(lengths))
 assert bool(jnp.all(ok))
-sharded = dict(counts_to_host(u_w, u_l, u_c, n_u))
+assert table.layout == "scattered"  # production bucketed path, no fallback
+sharded = dict(table_to_host_rows(table))
+assert sum(sharded.values()) == n
 
 from shortseq_tpu.ops.bitpack import pack_words
 words = pack_words(jnp.asarray(ascii_mat))
@@ -173,6 +177,74 @@ def test_bucketed_count_on_nonpow2_meshes():
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         assert f"NONPOW2-OK {d}" in proc.stdout
+
+
+_SKEW_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np
+import jax.numpy as jnp
+from shortseq_tpu.count import count_batch
+from shortseq_tpu.count.device import counts_to_host
+from shortseq_tpu.dist import count_sharded_auto, data_mesh, table_to_host_rows
+from shortseq_tpu.dist.count import _bucket_hash
+
+D = 8
+mesh = data_mesh()
+
+# Hash-skewed keys: every row lands in bucket 0, so each device's
+# 64-row shard sends 64 rows at a 2*64/8+16 = 32-slot capacity ->
+# guaranteed overflow -> the auto counter must take the count_sharded
+# fallback and still produce exact counts.
+rng = np.random.default_rng(5)
+skewed = []
+lengths_val = 20
+while len(skewed) < 512:
+    cand = rng.integers(0, 2**32, size=(4096, 2), dtype=np.uint64).astype(np.uint32)
+    b = np.asarray(_bucket_hash(jnp.asarray(cand), jnp.full(4096, lengths_val, jnp.int32), D))
+    skewed.extend(map(tuple, cand[b == 0]))
+skewed = np.asarray(sorted(set(skewed))[:512], np.uint32)
+assert len(skewed) == 512
+# duplicate some rows so counting is non-trivial
+words = np.concatenate([skewed, skewed[:256]])[:512]
+lengths = np.full(512, lengths_val, np.int32)
+ones = jnp.ones(512, jnp.int32)
+
+local = dict(counts_to_host(*count_batch(jnp.asarray(words), jnp.asarray(lengths))))
+auto = count_sharded_auto(mesh)
+table = auto(jnp.asarray(words), jnp.asarray(lengths), ones)
+assert table.layout == "prefix", table.layout  # fallback taken
+got = dict(table_to_host_rows(table))
+assert got == local, (len(got), len(local))
+assert int(table.n_unique) == len(local)
+
+# Benign keys: the fast path sticks (scattered) and is equally exact.
+benign = rng.integers(0, 2**32, size=(512, 2), dtype=np.uint64).astype(np.uint32)
+local_b = dict(counts_to_host(*count_batch(jnp.asarray(benign), jnp.asarray(lengths))))
+table_b = auto(jnp.asarray(benign), jnp.asarray(lengths), ones)
+assert table_b.layout == "scattered", table_b.layout
+got_b = dict(table_to_host_rows(table_b))
+assert got_b == local_b
+print("SKEW-FALLBACK-OK", len(got), len(got_b))
+"""
+
+
+def test_auto_counter_overflow_fallback_on_hash_skew():
+    """count_sharded_auto must detect bucket-capacity overflow from
+    adversarially skewed keys (all hashing to one bucket), fall back to
+    the exact all_gather merge, and still return exact counts - the
+    overflow contract count_sharded_bucketed documents, now implemented
+    at the production call site."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SKEW_SCRIPT],
+        env=scrubbed_cpu_env(8),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "SKEW-FALLBACK-OK" in proc.stdout
 
 
 def test_bucket_hash_uniform_loads():
