@@ -66,6 +66,10 @@ def main():
                     help="reuse/keep the FASTQ at this path")
     ap.add_argument("--engine", default="auto",
                     choices=("auto", "host", "device"))
+    ap.add_argument("--top", type=int, default=0,
+                    help="lazy-table mode: fetch only the top-N rows "
+                         "(read_and_count_fastq_table + most_common), the "
+                         "production `count --top N` path")
     args = ap.parse_args()
 
     path = args.keep or os.path.join(tempfile.mkdtemp(), "profile10m.fastq")
@@ -85,25 +89,47 @@ def main():
 
         start_transfer_warmup()
     rss0 = rss_mb()
-    t0 = time.time()
-    counts = read_and_count_fastq(path, engine=args.engine)
-    wall = time.time() - t0
+    if args.top:
+        from shortseq_tpu.api.counter import read_and_count_fastq_table
+
+        t0 = time.time()
+        table = read_and_count_fastq_table(path, engine=args.engine)
+        t_count = time.time()
+        top = table.most_common(args.top)
+        wall = time.time() - t0
+        n_unique = len(table)
+        phases = {"count_s": round(t_count - t0, 2),
+                  "topn_fetch_s": round(wall - (t_count - t0), 2),
+                  "materialized_rows": len(top)}
+        assert len(top) == min(args.top, n_unique)
+        counts = None
+    else:
+        t0 = time.time()
+        counts = read_and_count_fastq(path, engine=args.engine)
+        wall = time.time() - t0
+        n_unique = len(counts)
+        phases = {}
     rss1 = rss_mb()
 
     result = {
-        "metric": "end_to_end_dedup_reads_per_s",
+        "metric": ("top_n_dedup_reads_per_s" if args.top
+                   else "end_to_end_dedup_reads_per_s"),
         "engine": args.engine,
         "n_reads": args.n,
+        "top": args.top or None,
         "file_bytes": size,
         "wall_s": wall,
         "reads_per_s": args.n / wall,
-        "n_unique": len(counts),
+        "n_unique": n_unique,
         "rss_before_mb": round(rss0, 1),
         "rss_after_mb": round(rss1, 1),
         "gen_s": round(gen_s, 1),
         "backend": ("host-native" if args.engine != "device"
                     else __import__("jax").devices()[0].platform),
+        **phases,
     }
+    if args.top:
+        args.no_parity = True  # nothing materialized to compare
 
     if not args.no_parity:
         # The reference's oracle: collections.Counter over the raw bytes,

@@ -48,6 +48,7 @@ from .api import (
     ShortSeqVar,
     ShortSeqCounter,
     read_and_count_fastq,
+    read_and_count_fastq_table,
     get_domain_64,
     get_domain_192,
     get_domain_var,
@@ -55,6 +56,7 @@ from .api import (
 )
 
 from .batch import PackedBatch, pack_batch
+from .count import CountTable
 
 MIN_VAR_NT, MAX_VAR_NT = get_domain_var()
 MIN_192_NT, MAX_192_NT = get_domain_192()
@@ -66,6 +68,7 @@ __all__ = [
     "pack", "from_str", "from_bytes", "empty",
     "ShortSeq64", "ShortSeq192", "ShortSeqVar",
     "ShortSeqCounter", "read_and_count_fastq",
+    "read_and_count_fastq_table", "CountTable",
     "MIN_64_NT", "MAX_64_NT", "MIN_192_NT", "MAX_192_NT",
     "MIN_VAR_NT", "MAX_VAR_NT", "BACKEND",
     "PackedBatch", "pack_batch",

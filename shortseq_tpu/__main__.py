@@ -20,13 +20,23 @@ import sys
 def _cmd_count(args) -> int:
     import contextlib
 
-    from .api.counter import read_and_count_fastq
+    from .api.counter import read_and_count_fastq, read_and_count_fastq_table
 
     try:
-        # One engine policy lives in read_and_count_fastq; its reference
+        # One engine policy lives in read_and_count_fastq*; the reference
         # phase-timing print goes to stderr so stdout stays a clean table.
         with contextlib.redirect_stdout(sys.stderr):
-            counts = read_and_count_fastq(args.file, engine=args.engine)
+            if args.top:
+                # Lazy path: the count table stays device-/array-resident
+                # and only the top N rows are fetched and materialized
+                # (count/table.py) - never the full multi-million-object
+                # dict for a `--top 20`.
+                table = read_and_count_fastq_table(args.file,
+                                                   engine=args.engine)
+                items = table.most_common(args.top)
+            else:
+                counts = read_and_count_fastq(args.file, engine=args.engine)
+                items = sorted(counts.items(), key=lambda kv: -kv[1])
     except Exception as e:
         # The pipeline's user-facing failures are not all RuntimeError:
         # invalid bases raise the reference's bare Exception, bad paths
@@ -34,7 +44,6 @@ def _cmd_count(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
-    items = sorted(counts.items(), key=lambda kv: -kv[1])
     _write_table(args, items,
                  to_json=lambda items: {str(k): v for k, v in items},
                  to_row=lambda k, v: f"{k}\t{v}\n")

@@ -25,4 +25,5 @@ else:
     BACKEND = "python"
 
 from .seq import get_domain_64, get_domain_192, get_domain_var
-from .counter import ShortSeqCounter, read_and_count_fastq
+from .counter import (ShortSeqCounter, read_and_count_fastq,
+                      read_and_count_fastq_table)

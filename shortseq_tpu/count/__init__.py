@@ -9,5 +9,6 @@ sort-unique-sum.
 """
 
 from .device import unique_count, count_batch, counts_to_host
+from .table import CountTable
 
-__all__ = ["unique_count", "count_batch", "counts_to_host"]
+__all__ = ["unique_count", "count_batch", "counts_to_host", "CountTable"]

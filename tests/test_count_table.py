@@ -1,0 +1,165 @@
+"""CountTable: lazy count-table reads must agree with the materialized
+dict on every surface (len/total/most_common/lookups), for both engines,
+without materializing the full table (VERDICT.md round-2 task #2)."""
+
+import collections
+
+import numpy as np
+import pytest
+
+import shortseq_tpu as sq
+from tests.conftest import rand_sequence
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def fastq_and_reads(tmp_path_factory):
+    import random
+
+    rng = random.Random(0xBEEF)
+    pool = ([rand_sequence(rng, rng.randint(1, 32)) for _ in range(40)]
+            + [rand_sequence(rng, rng.randint(33, 96)) for _ in range(10)]
+            + [rand_sequence(rng, rng.randint(97, 300)) for _ in range(5)])
+    reads = [rng.choice(pool) for _ in range(600)]
+    path = _write_fastq(tmp_path_factory.mktemp("ct") / "r.fastq", reads)
+    return path, reads
+
+
+ENGINES = ("host", "device")
+
+
+@pytest.fixture(params=ENGINES)
+def table_and_expect(request, fastq_and_reads):
+    path, reads = fastq_and_reads
+    from shortseq_tpu.io.native import get_lib
+
+    if request.param == "host" and get_lib() is None:
+        pytest.skip("native library unavailable")
+    table = sq.read_and_count_fastq_table(path, engine=request.param)
+    return table, collections.Counter(reads)
+
+
+class TestCountTable:
+    def test_len_and_total(self, table_and_expect):
+        table, expect = table_and_expect
+        assert len(table) == len(expect)
+        assert table.total() == sum(expect.values())
+
+    def test_most_common_top_n(self, table_and_expect):
+        table, expect = table_and_expect
+        for n in (1, 5, 20):
+            got = table.most_common(n)
+            assert len(got) == min(n, len(expect))
+            # counts must be the n largest (multiset equality), and
+            # every returned (key, count) must be a true table entry
+            want_counts = sorted(expect.values(), reverse=True)[:n]
+            assert sorted((c for _, c in got), reverse=True) == want_counts
+            for k, c in got:
+                assert expect[str(k)] == c
+            # deterministic order: count desc, key asc
+            keys = [(-c, str(k)) for k, c in got]
+            assert keys == sorted(keys)
+
+    def test_most_common_full(self, table_and_expect):
+        table, expect = table_and_expect
+        got = table.most_common()
+        assert {str(k): c for k, c in got} == dict(expect)
+
+    def test_lookups(self, table_and_expect):
+        table, expect = table_and_expect
+        some = list(expect)[:25]
+        for seq in some:
+            assert seq in table
+            assert table[seq] == expect[seq]
+            assert table[seq.encode()] == expect[seq]
+            assert table[sq.pack(seq)] == expect[seq]
+            assert table.get(seq) == expect[seq]
+        absent = "ACGTACGTTGCA"
+        while absent in expect:
+            absent += "A"
+        assert absent not in table
+        assert table.get(absent) == 0
+        with pytest.raises(KeyError):
+            table[absent]
+        # non-sequence / invalid keys are simply absent
+        assert table.get(123) == 0
+        assert table.get("NNNN") == 0
+        assert 123 not in table
+
+    def test_to_counter_matches_eager(self, table_and_expect):
+        table, expect = table_and_expect
+        counter = table.to_counter()
+        assert {str(k): v for k, v in counter.items()} == dict(expect)
+        assert isinstance(counter, sq.ShortSeqCounter)
+
+    def test_engines_agree(self, fastq_and_reads):
+        path, reads = fastq_and_reads
+        from shortseq_tpu.io.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("native library unavailable")
+        th = sq.read_and_count_fastq_table(path, engine="host")
+        td = sq.read_and_count_fastq_table(path, engine="device")
+        assert len(th) == len(td)
+        assert th.total() == td.total()
+        # Count multisets agree exactly; keys agree above the boundary
+        # count (ties AT the boundary may surface different members per
+        # engine, like Counter insertion order - see most_common docs).
+        h10 = [(str(k), c) for k, c in th.most_common(10)]
+        d10 = [(str(k), c) for k, c in td.most_common(10)]
+        assert [c for _, c in h10] == [c for _, c in d10]
+        boundary = h10[-1][1]
+        assert ({kv for kv in h10 if kv[1] > boundary}
+                == {kv for kv in d10 if kv[1] > boundary})
+
+
+def test_from_merged_roundtrip(tmp_path):
+    """CountTable.from_merged over a distributed prefix table."""
+    reads = ["ACGT", "ACGT", "TTTT", "ACGTACGT"] * 5
+    path = _write_fastq(tmp_path / "m.fastq", reads)
+    from shortseq_tpu.count.table import CountTable
+    from shortseq_tpu.dist import read_and_count_fastq_distributed
+
+    table = read_and_count_fastq_distributed(path)
+    ct = CountTable.from_merged(table)
+    expect = collections.Counter(reads)
+    assert len(ct) == len(expect)
+    assert ct.total() == len(reads)
+    assert {str(k): c for k, c in ct.most_common()} == dict(expect)
+    assert ct["ACGT"] == 10
+
+
+def test_empty_table():
+    from shortseq_tpu.count.table import CountTable
+
+    t = CountTable([])
+    assert len(t) == 0
+    assert t.total() == 0
+    assert t.most_common(5) == []
+    assert t.most_common() == []
+    assert "ACGT" not in t
+    assert t.to_counter() == {}
+
+
+def test_cli_top_uses_lazy_table(tmp_path, capsys, monkeypatch):
+    """`count --top N` must route through the lazy table (no full
+    materialization): to_counter is forbidden via monkeypatch."""
+    reads = ["ACGT"] * 5 + ["TTTT"] * 3 + ["GGGG"]
+    path = _write_fastq(tmp_path / "c.fastq", reads)
+    from shortseq_tpu import __main__ as cli
+    from shortseq_tpu.count.table import CountTable
+
+    def _boom(self):
+        raise AssertionError("--top path must not materialize the dict")
+
+    monkeypatch.setattr(CountTable, "to_counter", _boom)
+    rc = cli.main(["count", str(path), "--top", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["ACGT\t5", "TTTT\t3"]

@@ -227,7 +227,7 @@ class TestCountEngines:
         import shortseq_tpu.api.counter as counter_mod
 
         path, _ = self._mixed_file(tmp_path, rng)
-        monkeypatch.setattr(counter_mod, "count_indexed_host",
+        monkeypatch.setattr(counter_mod, "count_indexed_host_table",
                             lambda *a: None)
         with pytest.raises(RuntimeError, match="native library"):
             sq.read_and_count_fastq(str(path), engine="host")
