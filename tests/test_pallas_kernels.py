@@ -64,12 +64,44 @@ class TestPairwiseTiled:
         assert (got == want).all()
 
     def test_auto_records_path(self):
-        from shortseq_tpu.ops import pallas_kernels
+        import jax
+
+        from shortseq_tpu.ops import pallas_kernels as pk
 
         a = _rand_words(16, 2, 9)
-        np.asarray(pallas_kernels.pairwise_hamming_auto(a, a))
-        expect = "pallas" if on_tpu else "jnp"
-        assert pallas_kernels.LAST_PAIRWISE_PATH == expect
+        np.asarray(pk.pairwise_hamming_auto(a, a))
+        # The auto path follows the per-(platform, device, width)
+        # calibration, so the recorded path must equal the cached winner.
+        platform = jax.devices()[0].platform
+        kind = getattr(jax.devices()[0], "device_kind", platform)
+        winner = pk._CALIBRATION[f"{platform}/{kind}/w2"]
+        assert pk.LAST_PAIRWISE_PATH == winner
+        assert winner in ("pallas", "mxu", "jnp")
+        if platform != "tpu":
+            assert winner != "pallas"  # never a candidate off-TPU
+
+    def test_calibration_measures_and_caches(self, tmp_path, monkeypatch):
+        """calibrate_pairwise: winner == argmin of the measured times;
+        the decision persists to disk and reloads without re-measuring."""
+        import jax
+
+        from shortseq_tpu.ops import pallas_kernels as pk
+
+        calib_file = str(tmp_path / "calib.json")
+        monkeypatch.setattr(pk, "_calib_file", lambda: calib_file)
+        monkeypatch.setattr(pk, "_CALIBRATION", {})
+        times = pk.calibrate_pairwise(6, force=True)
+        assert times and set(times) <= {"pallas", "mxu", "jnp"}
+        platform = jax.devices()[0].platform
+        kind = getattr(jax.devices()[0], "device_kind", platform)
+        key = f"{platform}/{kind}/w6"
+        assert pk._CALIBRATION[key] == min(times, key=times.get)
+        # Fresh in-memory state: the disk cache must answer without
+        # re-measuring (calibrate returns the persisted times).
+        monkeypatch.setattr(pk, "_CALIBRATION", {})
+        reloaded = pk.calibrate_pairwise(6)
+        assert reloaded == times
+        assert pk._CALIBRATION[key] == min(times, key=times.get)
 
     def test_auto_matches_oracle(self, rng):
         from tests.conftest import rand_sequence
