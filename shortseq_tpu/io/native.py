@@ -25,7 +25,29 @@ _lib = None
 _tried = False
 
 
+def _installed_ext() -> Path | None:
+    """A wheel-installed build of fastq_index (setup.py compiles it as the
+    shortseq_tpu._fastq_index extension so installed packages keep the
+    native IO path without csrc/ or a compiler at runtime).  It is never
+    imported as a Python module - its C ABI is bound with ctypes, exactly
+    like the on-demand build."""
+    import importlib.util
+
+    try:
+        spec = importlib.util.find_spec("shortseq_tpu._fastq_index")
+    except (ImportError, ValueError):
+        return None
+    if spec is None or not spec.origin:
+        return None
+    return Path(spec.origin)
+
+
 def _build() -> Path | None:
+    installed = _installed_ext()
+    if installed is not None and installed.exists():
+        return installed
+    if not _SRC.exists():
+        return None  # installed wheel without the extension: numpy fallback
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     # Content-hashed cache key: mtime comparisons miss deployments that
     # preserve timestamps (tar -x, rsync -a), which would bind a stale

@@ -60,6 +60,10 @@ def _so_path() -> Path:
 
 
 def _build() -> Path | None:
+    if not _SRC.exists():
+        # Installed wheel without csrc/ and without the compiled _native
+        # extension (no compiler at install time): pure-Python fallback.
+        return None
     so = _so_path()
     if so.exists():
         return so

@@ -24,11 +24,21 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
     ).strip()
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def scrubbed_cpu_env(n_devices=8):
     """Environment for subprocess tests that need an n-device CPU mesh:
-    drops the sitecustomize PYTHONPATH hook and forces the CPU platform."""
+    drops the sitecustomize PYTHONPATH hook and forces the CPU platform.
+    The repo root is derived from this file (not hardcoded) so the suite
+    runs from any checkout location, including CI."""
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo"
+    # Scrub only entries that carry a sitecustomize hook (the TPU-pinning
+    # boot module); keep the rest, so a suite running against an
+    # installed package (CI's package-isolation job) still resolves it.
+    kept = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and not os.path.exists(os.path.join(p, "sitecustomize.py"))]
+    env["PYTHONPATH"] = os.pathsep.join([REPO_ROOT] + kept)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
     env.pop("PALLAS_AXON_POOL_IPS", None)

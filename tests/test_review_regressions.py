@@ -7,7 +7,7 @@ import collections
 import numpy as np
 import pytest
 
-from tests.conftest import rand_sequence
+from tests.conftest import rand_sequence, scrubbed_cpu_env
 
 
 class TestEmptyBatches:
@@ -180,9 +180,17 @@ class TestBuildCacheRobustness:
             pytest.skip("native build disabled by SHORTSEQ_TPU_FORCE_PYTHON")
         import shortseq_tpu.io.native as nat
 
+        if not nat._SRC.exists():
+            pytest.skip("on-demand build needs csrc/ (installed package "
+                        "uses the wheel's _fastq_index extension instead)")
+
         monkeypatch.setattr(nat, "_CACHE_DIR", tmp_path)
         monkeypatch.setattr(nat, "_lib", None)
         monkeypatch.setattr(nat, "_tried", False)
+        # Force the on-demand build path: with a wheel-installed
+        # _fastq_index extension present, _build would never consult the
+        # cache this test poisons.
+        monkeypatch.setattr(nat, "_installed_ext", lambda: None)
         # Plant garbage at the exact cache path _build computes.
         import hashlib
 
@@ -500,7 +508,7 @@ class TestCliErrorMessages:
         proc = subprocess.run(
             [sys.executable, "-m", "shortseq_tpu", "count", str(f)],
             capture_output=True, text=True, timeout=300,
-            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+            env=scrubbed_cpu_env())
         assert proc.returncode == 2, (proc.returncode, proc.stderr[-500:])
         assert "error: Unsupported base character" in proc.stderr
         assert "Traceback" not in proc.stderr
@@ -512,6 +520,6 @@ class TestCliErrorMessages:
         proc = subprocess.run(
             [sys.executable, "-m", "shortseq_tpu", "count", "/no/such.fastq"],
             capture_output=True, text=True, timeout=300,
-            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+            env=scrubbed_cpu_env())
         assert proc.returncode == 2
         assert proc.stderr.startswith("error:") or "\nerror:" in proc.stderr
