@@ -264,7 +264,11 @@ def bench_pairwise(n=4096, lanes=2, k0=8):
         def loop(a_all, b_one, k):
             def body(i, acc):
                 x = jax.lax.dynamic_slice_in_dim(a_all, (i % k0) * n, n, 0)
-                return acc + jnp.sum(pair_fn(x, b_one))
+                # XOR fold, never a sum: a sum-consumed dot lets XLA
+                # rewrite reduce(dot) into dot(reduce) and skip the
+                # matmul (the mxu path "measured" 2.1 T pairs/s that
+                # way - 5x the MXU's own peak).
+                return acc ^ jnp.bitwise_xor.reduce(pair_fn(x, b_one).ravel())
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         return n * n / slope_time(loop, (a, b), k_hi=128,

@@ -70,6 +70,11 @@ def main():
                     help="lazy-table mode: fetch only the top-N rows "
                          "(read_and_count_fastq_table + most_common), the "
                          "production `count --top N` path")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="repeat the pipeline N times; report the first "
+                         "run separately as cold and {median,min,max} over "
+                         "the warm runs (relay spread is 2-5x, "
+                         "docs/ENVIRONMENT.md item 6)")
     args = ap.parse_args()
 
     path = args.keep or os.path.join(tempfile.mkdtemp(), "profile10m.fastq")
@@ -89,27 +94,43 @@ def main():
 
         start_transfer_warmup()
     rss0 = rss_mb()
-    if args.top:
-        from shortseq_tpu.api.counter import read_and_count_fastq_table
 
-        t0 = time.time()
-        table = read_and_count_fastq_table(path, engine=args.engine)
-        t_count = time.time()
-        top = table.most_common(args.top)
-        wall = time.time() - t0
-        n_unique = len(table)
-        phases = {"count_s": round(t_count - t0, 2),
-                  "topn_fetch_s": round(wall - (t_count - t0), 2),
-                  "materialized_rows": len(top)}
-        assert len(top) == min(args.top, n_unique)
-        counts = None
-    else:
+    def one_run():
+        if args.top:
+            from shortseq_tpu.api.counter import read_and_count_fastq_table
+
+            t0 = time.time()
+            table = read_and_count_fastq_table(path, engine=args.engine)
+            t_count = time.time()
+            top = table.most_common(args.top)
+            wall = time.time() - t0
+            n_unique = len(table)
+            phases = {"count_s": round(t_count - t0, 2),
+                      "topn_fetch_s": round(wall - (t_count - t0), 2),
+                      "materialized_rows": len(top)}
+            assert len(top) == min(args.top, n_unique)
+            return wall, n_unique, phases, None
         t0 = time.time()
         counts = read_and_count_fastq(path, engine=args.engine)
-        wall = time.time() - t0
-        n_unique = len(counts)
-        phases = {}
+        return time.time() - t0, len(counts), {}, counts
+
+    walls = []
+    for _ in range(max(1, args.runs)):
+        wall, n_unique, phases, counts = one_run()
+        walls.append(wall)
     rss1 = rss_mb()
+    if len(walls) > 1:
+        import statistics
+
+        warm = sorted(walls[1:])
+        wall = warm[0]  # headline: best warm run (steady state)
+        stats = {"cold_first_run_s": round(walls[0], 2),
+                 "warm_median_s": round(statistics.median(warm), 2),
+                 "warm_min_s": round(warm[0], 2),
+                 "warm_max_s": round(warm[-1], 2),
+                 "n_runs": len(walls)}
+    else:
+        stats = {"n_runs": 1}
 
     result = {
         "metric": ("top_n_dedup_reads_per_s" if args.top
@@ -127,6 +148,7 @@ def main():
         "backend": ("host-native" if args.engine != "device"
                     else __import__("jax").devices()[0].platform),
         **phases,
+        **stats,
     }
     if args.top:
         args.no_parity = True  # nothing materialized to compare
