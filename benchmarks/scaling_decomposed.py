@@ -201,11 +201,14 @@ def run_cpu_walltime(n_dev: int):
             ("bucketed_sharded",
              count_sharded_bucketed(mesh, CAPACITY_FACTOR, replicate=False))):
         res = step(words, lengths, ones)
-        jax.block_until_ready(res)  # compile
+        jax.device_get(res[3])  # compile + fetch-forced warm
         best = float("inf")
         for _ in range(5):
+            # The timed region covers exactly one step: dispatch plus the
+            # fetch-forced sync of ITS n_unique scalar (syncing the prior
+            # iteration inside the timer would bill its ~29 ms d2h round
+            # trip to this one).
             t0 = time.perf_counter()
-            jax.device_get(res[3] if name == "gather" else res[3])
             res = step(words, lengths, ones)
             n_u = int(jax.device_get(res[3]))
             best = min(best, time.perf_counter() - t0)

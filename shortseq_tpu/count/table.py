@@ -78,8 +78,15 @@ def _topk_rows_jit():
 
     @partial(jax.jit, static_argnames=("k",))
     def _topk_rows(words, lengths, counts, k: int):
+        import jax.numpy as jnp
+
         v, idx = jax.lax.top_k(counts, k)
-        return words[idx], lengths[idx], v
+        # min over ALL counts, not just the selected k: a poisoned
+        # (int32-wrapped, -1) entry is by definition the LARGEST true
+        # count, and top_k selects by signed value so it would never
+        # surface - the caller must raise, not silently return a top
+        # list missing the most frequent key.
+        return words[idx], lengths[idx], v, jnp.min(counts)
 
     return _topk_rows
 
@@ -106,11 +113,14 @@ def _total_jit():
         # straight sum is exact.  Device ints are 32-bit (x64 off); a
         # total past 2^31 wraps, so detect it with the same float32
         # shadow-sum trick as unique_count and poison to -1 (the host
-        # raises).
+        # raises).  An entry already poisoned upstream (-1 from
+        # unique_count's per-group wrap detection) must also poison the
+        # total - it appears identically in sum and shadow, so the
+        # shadow comparison alone would miss it.
         s = jnp.sum(counts)
         shadow = jnp.sum(counts.astype(jnp.float32))
         wrapped = jnp.abs(shadow - s.astype(jnp.float32)) > jnp.float32(2**30)
-        return jnp.where(wrapped, jnp.int32(-1), s)
+        return jnp.where(wrapped | (jnp.min(counts) < 0), jnp.int32(-1), s)
 
     return _total
 
@@ -214,7 +224,12 @@ class CountTable:
                         "count total exceeded int32; use to_counter()")
                 total += s
             else:
-                total += int(np.asarray(b.counts, np.int64).sum())
+                cnts = np.asarray(b.counts, np.int64)
+                if cnts.size and int(cnts.min()) < 0:
+                    raise OverflowError(
+                        "count table entry exceeded int32; use smaller "
+                        "merges")
+                total += int(cnts.sum())
         return total
 
     def most_common(self, n: int | None = None):
@@ -246,6 +261,12 @@ class CountTable:
                     w, lens, cnts = (np.asarray(b.words)[:live],
                                      np.asarray(b.lengths)[:live],
                                      np.asarray(b.counts)[:live])
+                if len(cnts) and int(np.asarray(cnts).min()) < 0:
+                    # Check BEFORE top-n selection: the partition would
+                    # drop a poisoned (-1) row - the table's true maximum.
+                    raise OverflowError(
+                        "count table entry exceeded int32; merge in "
+                        "smaller pieces")
                 if n is not None and n < len(cnts):
                     # host top-n: argpartition, no full sort of 10M rows
                     part = np.argpartition(-cnts, n - 1)[:n]
@@ -254,8 +275,14 @@ class CountTable:
                 # device top-k at a pow2-bucketed k (compile-cache reuse)
                 k = min(b.words.shape[0],
                         max(16, 1 << max(n - 1, 0).bit_length()))
-                w, lens, cnts = jax.device_get(
+                w, lens, cnts, min_count = jax.device_get(
                     _topk()(b.words, b.lengths, b.counts, k))
+                if int(min_count) < 0:
+                    # A poisoned (-1) entry is the table's true maximum;
+                    # top_k would silently omit it (see _topk_rows_jit).
+                    raise OverflowError(
+                        "count table entry exceeded int32; merge in "
+                        "smaller pieces")
                 w, lens, cnts = (np.asarray(w)[:n], np.asarray(lens)[:n],
                                  np.asarray(cnts)[:n])
                 keep = cnts > 0  # k > live rows pulls in zero-count padding

@@ -219,14 +219,22 @@ def calibrate_pairwise(width: int, platform: str | None = None,
             pass
 
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, 2**32, size=(_CALIB_ROWS, width),
+    # Off-TPU (CI containers, dev laptops) the full-size calibration costs
+    # a minute+ of first-call latency per width (the jnp candidate alone
+    # materializes a ~67 MB broadcast per iteration on a 4-core host);
+    # a 16x-smaller problem with short loops still ranks mxu-vs-jnp
+    # reliably there, and only the TPU ranking feeds performance claims.
+    rows, cols = ((_CALIB_ROWS, _CALIB_COLS) if platform == "tpu"
+                  else (_CALIB_ROWS // 4, _CALIB_COLS // 4))
+    k_hi = 128 if platform == "tpu" else 12
+    a = jnp.asarray(rng.integers(0, 2**32, size=(rows, width),
                                  dtype=np.uint64).astype(np.uint32))
-    b = jnp.asarray(rng.integers(0, 2**32, size=(_CALIB_COLS, width),
+    b = jnp.asarray(rng.integers(0, 2**32, size=(cols, width),
                                  dtype=np.uint64).astype(np.uint32))
     times = {}
     for name, fn in _candidates(platform).items():
         try:
-            times[name] = _measure_pairwise(fn, a, b)
+            times[name] = _measure_pairwise(fn, a, b, k_hi=k_hi)
         except Exception:
             continue  # a formulation that cannot run is never the winner
     winner = min(times, key=times.get) if times else "jnp"

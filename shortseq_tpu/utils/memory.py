@@ -23,6 +23,17 @@ from __future__ import annotations
 
 import gc
 import sys
+import types
+
+# Referents that drag in interpreter-wide state rather than the object's
+# own footprint: types and modules obviously, but also functions/methods
+# (gc.get_referents of a function includes its __globals__ - a plain
+# dict, invisible to a module check - so following one callback would sum
+# the whole defining module's namespace), frames, and code objects.
+# pympler.asizeof treats these as atomic by default too.
+_ATOMIC = (type, types.ModuleType, types.FunctionType,
+           types.BuiltinFunctionType, types.MethodType, types.FrameType,
+           types.CodeType)
 
 
 def deep_sizeof(*objs) -> int:
@@ -41,10 +52,8 @@ def deep_sizeof(*objs) -> int:
             total += sys.getsizeof(obj)
         except TypeError:
             continue
-        # Types and modules drag in the whole interpreter; the benchmark
-        # measures instances, matching asizeof's default limits.
         for ref in gc.get_referents(obj):
-            if isinstance(ref, type) or type(ref).__name__ == "module":
+            if isinstance(ref, _ATOMIC):
                 continue
             stack.append(ref)
     return total

@@ -135,6 +135,55 @@ def test_from_merged_roundtrip(tmp_path):
     assert ct["ACGT"] == 10
 
 
+class TestPoisonedCounts:
+    """Every lazy read must honor the int32-wrap poison contract: a -1
+    count from unique_count's wrap detection means the table is invalid,
+    and silently dropping it (device top_k selects by signed value!)
+    would return a top list missing the true most-frequent key."""
+
+    def _poisoned_device_table(self):
+        import jax.numpy as jnp
+
+        from shortseq_tpu.count.device import PAD_LENGTH
+        from shortseq_tpu.count.table import CountTable, _Bucket
+
+        words = jnp.asarray(np.arange(8, dtype=np.uint32).reshape(4, 2))
+        lengths = jnp.asarray(np.array([8, 8, 8, PAD_LENGTH], np.int32))
+        counts = jnp.asarray(np.array([5, -1, 2, 0], np.int32))
+        return CountTable([_Bucket(words, lengths, counts, 3, device=True)])
+
+    def _poisoned_host_table(self):
+        from shortseq_tpu.count.table import CountTable
+
+        words = np.arange(6, dtype=np.uint32).reshape(3, 2)
+        lengths = np.full(3, 8, np.int32)
+        counts = np.array([5, -1, 2], np.int64)
+        return CountTable.from_host_tables([(words, lengths, counts)])
+
+    @pytest.mark.parametrize("maker", ["_poisoned_device_table",
+                                       "_poisoned_host_table"])
+    def test_most_common_raises(self, maker):
+        table = getattr(self, maker)()
+        with pytest.raises(OverflowError, match="int32"):
+            table.most_common(2)
+        with pytest.raises(OverflowError, match="int32"):
+            table.most_common()
+
+    @pytest.mark.parametrize("maker", ["_poisoned_device_table",
+                                       "_poisoned_host_table"])
+    def test_total_raises(self, maker):
+        table = getattr(self, maker)()
+        with pytest.raises(OverflowError):
+            table.total()
+
+    @pytest.mark.parametrize("maker", ["_poisoned_device_table",
+                                       "_poisoned_host_table"])
+    def test_to_counter_raises(self, maker):
+        table = getattr(self, maker)()
+        with pytest.raises(OverflowError, match="int32"):
+            table.to_counter()
+
+
 def test_empty_table():
     from shortseq_tpu.count.table import CountTable
 

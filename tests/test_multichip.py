@@ -13,9 +13,7 @@ import sys
 from tests.conftest import scrubbed_cpu_env
 
 _SCRIPT = """
-import sys
-sys.path.insert(0, "/root/repo")
-import jax
+import jax  # shortseq_tpu resolves via scrubbed_cpu_env's PYTHONPATH
 assert len(jax.devices()) == 8, jax.devices()
 import __graft_entry__
 __graft_entry__.dryrun_multichip(8)
@@ -87,9 +85,7 @@ def test_sharded_count_on_8_cpu_devices():
 
 
 _UMI_SCRIPT = """
-import sys
-sys.path.insert(0, "/root/repo")
-import jax
+import jax  # shortseq_tpu resolves via scrubbed_cpu_env's PYTHONPATH
 assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np
@@ -129,8 +125,8 @@ print("SHARDED_UMI_OK")
 
 _NONPOW2_SCRIPT = """
 import sys
-sys.path.insert(0, "/root/repo")
-import jax
+
+import jax  # shortseq_tpu resolves via scrubbed_cpu_env's PYTHONPATH
 D = int(sys.argv[1])
 assert len(jax.devices()) == D, jax.devices()
 
@@ -180,9 +176,7 @@ def test_bucketed_count_on_nonpow2_meshes():
 
 
 _SKEW_SCRIPT = """
-import sys
-sys.path.insert(0, "/root/repo")
-import jax
+import jax  # shortseq_tpu resolves via scrubbed_cpu_env's PYTHONPATH
 assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np
