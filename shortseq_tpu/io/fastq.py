@@ -39,7 +39,21 @@ def _read_bytes(filename) -> bytes:
         with gzip.open(filename, "rb") as f:
             return f.read()
     with open(filename, "rb") as f:
+        _advise_sequential(f)
         return f.read()
+
+
+def _advise_sequential(f) -> None:
+    """Kernel readahead hint for the sequential whole-file scan (the
+    reference documents the same posix_fadvise intent for its getline
+    reader, fast_read.pxd:11-17).  Best-effort: not every platform or
+    file object supports it."""
+    try:
+        import os
+
+        os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL)
+    except (AttributeError, OSError):
+        pass
 
 
 # Longest FASTQ record we expect to straddle a shard boundary: header +
@@ -75,6 +89,7 @@ def _read_range_synced(filename, lo: int, hi: int):
     base = max(0, lo - 1)
     read_hi = min(size, max(hi, lo) + _SYNC_MARGIN)
     with open(filename, "rb") as f:
+        _advise_sequential(f)
         f.seek(base)
         return f.read(read_hi - base), base
 

@@ -47,20 +47,25 @@ def _make_fastq(path, rng):
     return reads
 
 
-def test_two_process_distributed_count(tmp_path):
-    rng = random.Random(0xD15C0)
+import os
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "multihost_worker.py")
+
+
+def _run_multihost(tmp_path, n_procs: int, devices_per_proc: int):
+    rng = random.Random(0xD15C0 + n_procs)
     fastq = tmp_path / "reads.fastq"
     reads = _make_fastq(fastq, rng)
     expect = collections.Counter(reads)
 
     port = _free_port()
-    n_procs = 2
     outs = [tmp_path / f"table_{i}.json" for i in range(n_procs)]
     procs = [
         subprocess.Popen(
-            [sys.executable, "/root/repo/tests/multihost_worker.py",
+            [sys.executable, _WORKER,
              str(i), str(n_procs), str(port), str(fastq), str(outs[i])],
-            env=scrubbed_cpu_env(2),
+            env=scrubbed_cpu_env(devices_per_proc),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(n_procs)
     ]
@@ -77,8 +82,22 @@ def test_two_process_distributed_count(tmp_path):
         assert p.returncode == 0, err[-4000:]
 
     tables = [json.loads(o.read_text()) for o in outs]
-    # Replicated result: every host materializes the identical table.
-    assert tables[0] == tables[1]
+    # Every host materializes the identical table (the scattered layout's
+    # multi-controller fetch exchanges disjoint live rows host-to-host).
+    for t in tables[1:]:
+        assert t == tables[0]
     # Bit-exact dedup parity vs the reference oracle (full dict, not just
     # the count multiset).
     assert tables[0] == dict(expect)
+
+
+def test_two_process_distributed_count(tmp_path):
+    _run_multihost(tmp_path, n_procs=2, devices_per_proc=2)
+
+
+def test_three_process_nonpow2_mesh(tmp_path):
+    """3 processes x 1 device: a non-power-of-two GLOBAL mesh driving the
+    production bucketed merge end-to-end across real process boundaries
+    (gloo collectives) - combines the non-pow2 _bucket_hash fix with the
+    multi-controller scattered-table fetch."""
+    _run_multihost(tmp_path, n_procs=3, devices_per_proc=1)
