@@ -184,6 +184,24 @@ class TestPoisonedCounts:
             table.to_counter()
 
 
+@pytest.mark.parametrize("engine", ENGINES)
+def test_empty_reads_as_keys(tmp_path, engine):
+    """Zero-length reads are live keys (the reference's empty singleton /
+    hash-0 collision subtlety): len/total/lookup/most_common must all see
+    them on both engines."""
+    from shortseq_tpu.io.native import get_lib
+
+    if engine == "host" and get_lib() is None:
+        pytest.skip("native library unavailable")
+    reads = ["", "ACGT", "", "A", "ACGT"]
+    path = _write_fastq(tmp_path / "e.fastq", reads)
+    t = sq.read_and_count_fastq_table(path, engine=engine)
+    assert len(t) == 3 and t.total() == 5
+    assert t[""] == 2 and t["A"] == 1 and t["ACGT"] == 2
+    assert {str(k): v for k, v in t.most_common()} == \
+        dict(collections.Counter(reads))
+
+
 def test_empty_table():
     from shortseq_tpu.count.table import CountTable
 
