@@ -213,9 +213,15 @@ def count_indexed_device_table(data, starts, lengths,
     # Consumers fetch device results; overlap the one-time d2h handshake
     # (see utils/warmup.py) with the pack/count work.
     start_transfer_warmup()
+    from ..count.ingest import quarter_pow2
+
     by_width = {}
+    # Quarter-pow2 padding: pad rows ride the h2d transfer AND the sort,
+    # so the pow2 rule's worst case (+67% at 10M reads) is real time here;
+    # quarter steps bound it at 25% with a still-closed shape set.
     for words, sub_len in packed_buckets(data, starts, lengths,
-                                         batch_size=batch_size):
+                                         batch_size=batch_size,
+                                         pad_pow2="quarter"):
         by_width.setdefault(words.shape[1], []).append((words, sub_len))
     tables = []
     for w, parts in by_width.items():
@@ -223,7 +229,7 @@ def count_indexed_device_table(data, starts, lengths,
             words, sub_len = parts[0]
         else:
             rows = sum(len(p[1]) for p in parts)
-            rows_pad = max(256, 1 << (rows - 1).bit_length())
+            rows_pad = quarter_pow2(rows)
             words = np.zeros((rows_pad, w), np.uint32)
             sub_len = np.full(rows_pad, PAD_LENGTH, np.int32)
             at = 0

@@ -24,6 +24,24 @@ WIDTH_EDGES = [(0, MAX_64_NT, 32), (MAX_64_NT, MAX_192_NT, 96),
                (MAX_192_NT, MAX_VAR_NT, 1024)]
 
 
+def quarter_pow2(n: int, floor: int = 256) -> int:
+    """Round up to the next quarter-power-of-two step (2^k, 1.25*2^k,
+    1.5*2^k, 1.75*2^k).  Plain pow2 padding wastes up to 100% of the
+    batch in pad rows at unlucky sizes (10M reads -> 16.7M rows: +67%
+    h2d transfer AND +67% rows through the sort); quarter steps bound
+    the waste at 25% while keeping the compile-shape set closed (4 shapes
+    per octave, so the persistent compile cache still converges)."""
+    n = max(n, 1)
+    if n <= floor:
+        return floor
+    base = 1 << (n - 1).bit_length() - 1  # largest pow2 < padded result
+    for num in (5, 6, 7):
+        cand = base * num // 4
+        if cand >= n:
+            return cand
+    return base * 2
+
+
 def pack_validate_padded(rows: np.ndarray, val_lengths: np.ndarray,
                          min_pad: int = 256):
     """Device pack + validate of a host byte matrix with the repo's
@@ -50,13 +68,15 @@ def pack_validate_padded(rows: np.ndarray, val_lengths: np.ndarray,
 
 
 def packed_buckets(data, starts, lengths, batch_size: int | None = None,
-                   min_pad: int = 256, pad_pow2: bool = True):
+                   min_pad: int = 256, pad_pow2: bool | str = True):
     """Yield (words uint32 [M, width//16], sub_len int32 [M]) per width
     bucket, host-packed and host-validated, batch dim padded to a power of
     two (>= min_pad) with PAD_LENGTH rows.  batch_size caps the un-padded
     rows per yield (streaming pipelines); None = one batch per bucket.
     pad_pow2=False skips the batch-dim padding (host engines have no
-    compile cache to feed).
+    compile cache to feed); pad_pow2="quarter" pads to quarter-pow2 steps
+    instead (see quarter_pow2 - bounded 25% waste for large device
+    batches where pad rows cost real transfer and sort time).
 
     Raises the reference's errors: "Unsupported base character: X" on an
     invalid byte (short_seq_64.pyx:105), TOO_LONG_MSG past 1024 nt
@@ -86,7 +106,12 @@ def packed_buckets(data, starts, lengths, batch_size: int | None = None,
             sub_len = len_all[off:off + bs]
             words = gather_pack(data, s_all[off:off + bs], sub_len, width)
             m = len(sub_len)
-            m_pad = max(min_pad, 1 << (m - 1).bit_length()) if pad_pow2 else m
+            if pad_pow2 == "quarter":
+                m_pad = quarter_pow2(m, floor=min_pad)
+            elif pad_pow2:
+                m_pad = max(min_pad, 1 << (m - 1).bit_length())
+            else:
+                m_pad = m
             if m_pad != m:
                 words = np.pad(words, ((0, m_pad - m), (0, 0)))
                 sub_len = np.pad(sub_len, (0, m_pad - m),
