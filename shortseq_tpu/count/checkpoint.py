@@ -135,20 +135,23 @@ def merge_host_tuples(host_tables, n_out: int | None = None):
     concat + one device unique_count.  The single concat-and-count helper
     behind merge_tables and dist.pipeline's merges.
 
-    The concatenated row count is padded to a power of two (>= 256) with
-    PAD_LENGTH rows (weight 0, dropped exactly by unique_count): merge
-    sizes are data-dependent, and an unpadded shape would recompile the
-    large multi-operand sort for virtually every merge."""
+    The concatenated row count is padded to a quarter-pow2 step (>= 256)
+    with PAD_LENGTH rows (weight 0, dropped exactly by unique_count):
+    merge sizes are data-dependent, and an unpadded shape would recompile
+    the large multi-operand sort for virtually every merge, while plain
+    pow2 wastes up to +100% of the h2d transfer and sort rows at unlucky
+    sizes (see ingest.quarter_pow2)."""
     import jax.numpy as jnp
 
     from .device import PAD_LENGTH, unique_count
+    from .ingest import quarter_pow2
 
     widths = [w.shape[1] for w, _, _ in host_tables if w.size]
     width = max(widths) if widths else 1
     total = sum(len(l) for _, l, _ in host_tables)
     if total == 0:
         return empty_table(width)
-    total_pad = max(256, 1 << (total - 1).bit_length())
+    total_pad = quarter_pow2(total)
     words = np.zeros((total_pad, width), np.uint32)
     lengths = np.full(total_pad, PAD_LENGTH, np.int32)
     counts = np.zeros(total_pad, np.int32)
