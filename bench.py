@@ -271,7 +271,11 @@ def bench_pairwise(n=4096, lanes=2, k0=8):
                 return acc ^ jnp.bitwise_xor.reduce(pair_fn(x, b_one).ravel())
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-        return n * n / slope_time(loop, (a, b), k_hi=128,
+        # k_hi=512: the mxu formulation runs ~30 us/iter, so a 128-iter
+        # span is ~4 ms of work - under the >=5 ms jitter floor the
+        # slope_time docstring warns about (observed: 511 G vs 1067 G
+        # pairs/s across two runs at k_hi=128).
+        return n * n / slope_time(loop, (a, b), k_hi=512,
                                   name=f"pairwise_{stat_name}_pairs_per_s")
 
     rates = {name: _rate(fn, name) for name, fn in fns.items()}

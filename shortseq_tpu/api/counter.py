@@ -187,17 +187,19 @@ def count_indexed_device_table(data, starts, lengths,
     object dict (VERDICT.md round-2 weak #3).  Bucket tables are disjoint
     by length, so the logical table is their union.
 
-    One power-of-two-padded batch per width bucket, one device_put each.
-    The previous design streamed fixed-size chunks and concatenated them
-    on device; the concat produced a non-pow2 shape whose programs missed
-    every cache and, through this environment's relay, the many-small-
-    transfers + odd-shape combination measured 70x slower end-to-end than
-    one large transfer (517 s vs 7 s for a 10 M-read bucket - large
-    h2d bursts move at ~350 MB/s here, docs/ENVIRONMENT.md).  Host memory
-    is unchanged: the chunked path kept every chunk resident anyway.
-    batch_size is accepted for API compatibility and caps the gather
-    granularity only (chunks are concatenated on HOST before the single
-    device_put).
+    One quarter-pow2-padded batch per width bucket (ingest.quarter_pow2:
+    bounded 25% pad waste vs pow2's worst-case +100% - pad rows ride the
+    h2d transfer AND the sort), one device_put each.  The previous design
+    streamed fixed-size chunks and concatenated them on device; the
+    concat produced an uncached shape and, through this environment's
+    relay, the many-small-transfers + odd-shape combination measured 70x
+    slower end-to-end than one large transfer (517 s vs 7 s for a
+    10 M-read bucket; the relay's effective burst rate itself swings
+    ~50-350 MB/s between sessions, docs/ENVIRONMENT.md item 6).  Host
+    memory is unchanged: the chunked path kept every chunk resident
+    anyway.  batch_size is accepted for API compatibility and caps the
+    gather granularity only (chunks are concatenated on HOST before the
+    single device_put).
     """
     import jax
     import jax.numpy as jnp
