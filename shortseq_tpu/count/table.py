@@ -297,6 +297,42 @@ class CountTable:
         rows.sort(key=lambda kv: (-kv[1], str(kv[0])))
         return rows if n is None else rows[:n]
 
+    def values(self):
+        """All live counts as a host numpy int64 array (order
+        unspecified).  The reference's dedup-parity oracle compares
+        `sorted(counter.values())` (tests/unit_tests_profiling.py:136);
+        this answers it without materializing a single key object.
+        Raises on poisoned (int32-wrapped) entries like every other read.
+        """
+        import jax
+
+        out = []
+        for b in self._buckets:
+            n = b.n_unique
+            if n == 0:
+                continue
+            if b.device:
+                # counts-only prefix fetch: 4 B/key over the link instead
+                # of fetch_table's full 4+4*W B/key rows.  The static
+                # slice size is pow2-bucketed like fetch_table's so the
+                # slice program comes from a closed shape set (plain lax
+                # op, cached per shape - a fresh jit(lambda) would miss
+                # the in-memory compile cache on every call).
+                c = min(b.counts.shape[0],
+                        max(256, 1 << max(n - 1, 0).bit_length()))
+                cnts = np.asarray(jax.device_get(
+                    jax.lax.slice_in_dim(b.counts, 0, c)))[:n]
+            else:
+                cnts = np.asarray(b.counts)[:n]
+            cnts = np.asarray(cnts, np.int64)
+            if cnts.size and int(cnts.min()) < 0:
+                raise OverflowError(
+                    "count table entry exceeded int32; merge in smaller "
+                    "pieces")
+            out.append(cnts)
+        return (np.concatenate(out) if out
+                else np.zeros(0, np.int64))
+
     # -- lookups --------------------------------------------------------
 
     def get(self, key, default=0):

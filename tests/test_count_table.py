@@ -92,6 +92,15 @@ class TestCountTable:
         assert table.get("NNNN") == 0
         assert 123 not in table
 
+    def test_values_multiset(self, table_and_expect):
+        """values(): the reference's dedup-parity oracle
+        (sorted(counter.values()), unit_tests_profiling.py:136) without
+        materializing any key objects."""
+        table, expect = table_and_expect
+        vals = table.values()
+        assert sorted(vals.tolist()) == sorted(expect.values())
+        assert int(vals.sum()) == table.total()
+
     def test_to_counter_matches_eager(self, table_and_expect):
         table, expect = table_and_expect
         counter = table.to_counter()
@@ -182,6 +191,13 @@ class TestPoisonedCounts:
         table = getattr(self, maker)()
         with pytest.raises(OverflowError, match="int32"):
             table.to_counter()
+
+    @pytest.mark.parametrize("maker", ["_poisoned_device_table",
+                                       "_poisoned_host_table"])
+    def test_values_raises(self, maker):
+        table = getattr(self, maker)()
+        with pytest.raises(OverflowError, match="int32"):
+            table.values()
 
 
 @pytest.mark.parametrize("engine", ENGINES)
