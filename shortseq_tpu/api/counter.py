@@ -218,20 +218,21 @@ def count_indexed_device_table(data, starts, lengths,
     from ..count.ingest import quarter_pow2
 
     by_width = {}
-    # Quarter-pow2 padding: pad rows ride the h2d transfer AND the sort,
-    # so the pow2 rule's worst case (+67% at 10M reads) is real time here;
-    # quarter steps bound it at 25% with a still-closed shape set.
+    # Chunks arrive UNPADDED and each bucket pads exactly once, to a
+    # quarter-pow2 step: pad rows ride the h2d transfer AND the sort, so
+    # the pow2 rule's worst case (+100%) was real time here, and padding
+    # per-chunk before a final re-pad would compound back to ~56% waste.
     for words, sub_len in packed_buckets(data, starts, lengths,
                                          batch_size=batch_size,
-                                         pad_pow2="quarter"):
+                                         pad_pow2=False):
         by_width.setdefault(words.shape[1], []).append((words, sub_len))
     tables = []
     for w, parts in by_width.items():
-        if len(parts) == 1:
+        rows = sum(len(p[1]) for p in parts)
+        rows_pad = quarter_pow2(rows)
+        if len(parts) == 1 and rows_pad == len(parts[0][1]):
             words, sub_len = parts[0]
         else:
-            rows = sum(len(p[1]) for p in parts)
-            rows_pad = quarter_pow2(rows)
             words = np.zeros((rows_pad, w), np.uint32)
             sub_len = np.full(rows_pad, PAD_LENGTH, np.int32)
             at = 0

@@ -108,6 +108,10 @@ def packed_buckets(data, starts, lengths, batch_size: int | None = None,
             m = len(sub_len)
             if pad_pow2 == "quarter":
                 m_pad = quarter_pow2(m, floor=min_pad)
+            elif isinstance(pad_pow2, str):
+                # A typo ('Quarter', 'quarter ') silently reverting to
+                # pow2 would reintroduce up-to-+100% pad waste unnoticed.
+                raise ValueError(f"unknown pad_pow2 mode {pad_pow2!r}")
             elif pad_pow2:
                 m_pad = max(min_pad, 1 << (m - 1).bit_length())
             else:

@@ -287,10 +287,7 @@ class CountTable:
                                  np.asarray(cnts)[:n])
                 keep = cnts > 0  # k > live rows pulls in zero-count padding
                 w, lens, cnts = w[keep], lens[keep], cnts[keep]
-            if len(cnts) and int(np.asarray(cnts).min()) < 0:
-                raise OverflowError(
-                    "count table entry exceeded int32; merge in smaller "
-                    "pieces")
+            # (both branches above already raised on any poisoned count)
             rows.extend(_pairs_from_rows(w, lens, cnts))
         # count desc, then key asc (length, then decoded order = block
         # tuple order is NOT string order, so compare by the string)

@@ -37,7 +37,8 @@ def _read_bytes(filename) -> bytes:
         import gzip
 
         with gzip.open(filename, "rb") as f:
-            return f.read()
+            _advise_sequential(f)  # the compressed stream scan is
+            return f.read()        # sequential too (fileno passthrough)
     with open(filename, "rb") as f:
         _advise_sequential(f)
         return f.read()

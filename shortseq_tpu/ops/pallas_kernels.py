@@ -186,7 +186,9 @@ def _measure_pairwise(fn, a, b, repeats: int = 3,
         jax.device_get(loop(a, b, hi))
         t_lo = min(t_lo, t1 - t0)
         t_hi = min(t_hi, time.perf_counter() - t1)
-    return (t_hi - t_lo) / (k_hi - k_lo)
+    # Jitter can still invert a span on a loaded host; a negative or zero
+    # "time" must never be cached as a winner.
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
 def calibrate_pairwise(width: int, platform: str | None = None,
@@ -226,7 +228,11 @@ def calibrate_pairwise(width: int, platform: str | None = None,
     # reliably there, and only the TPU ranking feeds performance claims.
     rows, cols = ((_CALIB_ROWS, _CALIB_COLS) if platform == "tpu"
                   else (_CALIB_ROWS // 4, _CALIB_COLS // 4))
-    k_hi = 128 if platform == "tpu" else 12
+    # Off-TPU k_hi must still keep the slope span above the ~5 ms jitter
+    # floor (bench.py's rule) or scheduler noise can cache a wrong - even
+    # negative-slope - winner; 48 iterations of the shrunken problem is
+    # tens of ms of work on a small CPU.
+    k_hi = 128 if platform == "tpu" else 48
     a = jnp.asarray(rng.integers(0, 2**32, size=(rows, width),
                                  dtype=np.uint64).astype(np.uint32))
     b = jnp.asarray(rng.integers(0, 2**32, size=(cols, width),
