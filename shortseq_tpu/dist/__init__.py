@@ -12,6 +12,7 @@ from .count import (ShardedCountTable, count_sharded, count_sharded_auto,
                     count_sharded_bucketed, make_sharded_counter)
 from .pipeline import (count_fastq_sharded, read_and_count_fastq_distributed,
                        table_to_counter, table_to_host_rows)
+from .table import DistributedCountTable, distributed_count_table
 from .umi import neighbors_sharded_step
 
 __all__ = [
@@ -19,5 +20,7 @@ __all__ = [
     "ShardedCountTable", "count_sharded", "count_sharded_auto",
     "count_sharded_bucketed", "make_sharded_counter",
     "count_fastq_sharded", "read_and_count_fastq_distributed",
-    "table_to_counter", "table_to_host_rows", "neighbors_sharded_step",
+    "table_to_counter", "table_to_host_rows",
+    "DistributedCountTable", "distributed_count_table",
+    "neighbors_sharded_step",
 ]

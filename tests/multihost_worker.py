@@ -45,6 +45,23 @@ def main():
         result[seq] = result.get(seq, 0) + count
     n_u = table.n_unique
     assert len(result) == int(n_u), (len(result), int(n_u))
+
+    # Lazy distributed reads, cross-process: every collective returns a
+    # replicated answer, so all processes agree without host exchange
+    # (most_common/total/lookups), and values() exercises the
+    # host-allgather multiset path.
+    from shortseq_tpu.dist import data_mesh, distributed_count_table
+
+    t = distributed_count_table(table, data_mesh())
+    assert len(t) == len(result)
+    assert t.total() == sum(result.values())
+    assert sorted(t.values().tolist()) == sorted(result.values())
+    top = t.most_common(5)
+    for k, c in top:
+        assert result[str(k)] == c
+    some = list(result)[:10]
+    for s in some:
+        assert t[s] == result[s]
     with open(out_path, "w") as f:
         json.dump(result, f, sort_keys=True)
 

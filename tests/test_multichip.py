@@ -241,6 +241,92 @@ def test_auto_counter_overflow_fallback_on_hash_skew():
     assert "SKEW-FALLBACK-OK" in proc.stdout
 
 
+_DIST_TABLE_SCRIPT = """
+import collections
+
+import jax  # shortseq_tpu resolves via scrubbed_cpu_env's PYTHONPATH
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np
+import jax.numpy as jnp
+from shortseq_tpu.count import count_batch
+from shortseq_tpu.count.device import counts_to_host
+from shortseq_tpu.dist import (count_sharded_auto, data_mesh,
+                               distributed_count_table)
+from shortseq_tpu.dist.table import DistributedCountTable
+from shortseq_tpu.oracle import decode_blocks
+from shortseq_tpu.ops.bitpack import pack_words
+
+rng = np.random.default_rng(13)
+n, width = 512, 32
+lengths = rng.integers(4, 17, size=n).astype(np.int32)
+codes = rng.integers(0, 3, size=(n, width)).astype(np.uint8)
+ascii_mat = np.frombuffer(b"ACT", dtype=np.uint8)[codes]
+mask = np.arange(width)[None, :] < lengths[:, None]
+ascii_mat = np.where(mask, ascii_mat, 0).astype(np.uint8)
+words = pack_words(jnp.asarray(ascii_mat))
+
+local = {}
+for (length, blocks), count in counts_to_host(
+        *count_batch(words, jnp.asarray(lengths))):
+    local[decode_blocks(blocks, length)] = count
+
+mesh = data_mesh()
+table = count_sharded_auto(mesh)(words, jnp.asarray(lengths),
+                                 jnp.ones(n, jnp.int32))
+assert table.layout == "scattered"
+t = distributed_count_table(table, mesh)
+assert isinstance(t, DistributedCountTable)
+
+assert len(t) == len(local)
+assert t.total() == n
+assert sorted(t.values().tolist()) == sorted(local.values())
+top = t.most_common(5)
+want_counts = sorted(local.values(), reverse=True)[:5]
+assert sorted((c for _, c in top), reverse=True) == want_counts
+for k, c in top:
+    assert local[str(k)] == c
+# deterministic order: count desc, key asc
+pairs = [(-c, str(k)) for k, c in top]
+assert pairs == sorted(pairs)
+# full listing agrees exactly
+assert {str(k): c for k, c in t.most_common()} == local
+# lookups
+some = list(local)[:20]
+for s in some:
+    assert s in t and t[s] == local[s]
+assert t.get("G" * 30) == 0 and "G" * 30 not in t
+# full materialization
+assert {str(k): v for k, v in t.to_counter().items()} == local
+
+# prefix-layout tables route to the plain CountTable view
+from shortseq_tpu.count.table import CountTable
+from shortseq_tpu.dist import count_sharded
+
+prefix = count_sharded(mesh)(words, jnp.asarray(lengths),
+                             jnp.ones(n, jnp.int32))
+t2 = distributed_count_table(prefix, mesh)
+assert isinstance(t2, CountTable)
+assert len(t2) == len(local) and t2.total() == n
+assert {str(k): c for k, c in t2.most_common()} == local
+print("DIST-TABLE-OK", len(local))
+"""
+
+
+def test_distributed_count_table_on_8_cpu_devices():
+    """DistributedCountTable: lazy Counter-style reads over the
+    mesh-sharded production merge output - every read is a collective
+    returning a replicated result, candidate rows (not the table) cross
+    to the host."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _DIST_TABLE_SCRIPT],
+        env=scrubbed_cpu_env(8),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "DIST-TABLE-OK" in proc.stdout
+
+
 def test_bucket_hash_uniform_loads():
     """Bucket loads from _bucket_hash must be near-uniform for every mesh
     size, not just powers of two (the aliasing bug gave 2x load on
