@@ -45,9 +45,12 @@ def quarter_pow2(n: int, floor: int = 256) -> int:
 def pack_validate_padded(rows: np.ndarray, val_lengths: np.ndarray,
                          min_pad: int = 256):
     """Device pack + validate of a host byte matrix with the repo's
-    batch-padding rule in ONE place: the row count pads to a power of two
-    (>= min_pad, compile-cache reuse - XLA recompiles per shape) with
-    zero rows whose validation length is 0 (vacuously valid).
+    batch-padding rule in ONE place: the row count pads to a quarter-pow2
+    step (>= min_pad; see quarter_pow2 - closed compile-shape set, pad
+    waste bounded at 25% instead of pow2's +100%, and pad rows are h2d
+    transfer) with zero rows whose validation length is 0 (vacuously
+    valid).  Quarter steps >= 256 stay divisible by the row-fold factors
+    the pack kernels pick (fold_for caps at 64 and shrinks to divide).
 
     Returns (words [N_pad, width//16] device, ok [N] host bool): words
     keep the padded batch dim (device consumers want the padded shape);
@@ -58,7 +61,7 @@ def pack_validate_padded(rows: np.ndarray, val_lengths: np.ndarray,
     n, width = rows.shape
     assert width % 16 == 0
     val_lengths = np.ascontiguousarray(val_lengths, np.int32)
-    n_pad = max(min_pad, 1 << max(0, (n - 1).bit_length()))
+    n_pad = quarter_pow2(n, floor=min_pad)
     if n_pad != n:
         rows = np.pad(rows, ((0, n_pad - n), (0, 0)))
         val_lengths = np.pad(val_lengths, (0, n_pad - n))
