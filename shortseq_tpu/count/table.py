@@ -308,6 +308,13 @@ class CountTable:
             n = b.n_unique
             if n == 0:
                 continue
+            if n > b.counts.shape[0]:
+                # Same n_out-overflow contract as fetch_table: an
+                # undersized table silently truncating the multiset would
+                # pass the parity oracle against the wrong answer.
+                raise ValueError(
+                    f"count table overflow: {n} unique keys but only "
+                    f"{b.counts.shape[0]} output rows (n_out too small)")
             if b.device:
                 # counts-only prefix fetch: 4 B/key over the link instead
                 # of fetch_table's full 4+4*W B/key rows.  The static

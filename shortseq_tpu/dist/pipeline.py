@@ -169,8 +169,10 @@ def _scattered_to_host(words, lengths, counts):
     from jax.experimental import multihost_utils
 
     w, l, c = _live(_local(words), _local(lengths), _local(counts))
+    # int32 on purpose: jax runs with x64 disabled, so int64 payloads
+    # silently truncate through process_allgather.
     rows = multihost_utils.process_allgather(
-        np.asarray([len(l)], np.int64))
+        np.asarray([len(l)], np.int32))
     max_rows = int(rows.max())
     pad = max_rows - len(l)
     w_pad = np.pad(w, ((0, pad), (0, 0)))
@@ -247,8 +249,9 @@ def read_and_count_fastq_distributed(filename, n_shards: int | None = None,
     # Agree on a common per-host row count (tables differ per host) and a
     # common lane width, then build a global [hosts*rows, W] array with
     # each host contributing its padded slab.
+    # int32: int64 would silently truncate through the x64-disabled jax.
     sizes = multihost_utils.process_allgather(
-        np.asarray([len(l), w.shape[1] if w.size else 1], np.int64))
+        np.asarray([len(l), w.shape[1] if w.size else 1], np.int32))
     rows = int(sizes[:, 0].max())
     width = int(sizes[:, 1].max())
     # Round rows up so the global batch divides the mesh evenly.

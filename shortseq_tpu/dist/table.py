@@ -29,6 +29,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# Process-wide cache of the jitted per-mesh top-k steps, keyed by
+# (mesh, k): a per-instance cache would re-trace identical programs for
+# every table built over the same mesh.
+_TOPK_STEPS: dict = {}
+
 
 def distributed_count_table(table, mesh):
     """The right lazy view for a merged table: plain CountTable for
@@ -52,7 +57,6 @@ class DistributedCountTable:
         self._t = table
         self._mesh = mesh
         self._n = None
-        self._steps = {}
 
     # -- cheap reads ----------------------------------------------------
 
@@ -63,28 +67,15 @@ class DistributedCountTable:
             self._n = int(jax.device_get(self._t.n_unique))
         return self._n
 
-    def _jit(self, key, build):
-        if key not in self._steps:
-            self._steps[key] = build()
-        return self._steps[key]
-
     def total(self) -> int:
         import jax
-        import jax.numpy as jnp
 
-        def build():
-            @jax.jit
-            def run(counts):
-                s = jnp.sum(counts)
-                shadow = jnp.sum(counts.astype(jnp.float32))
-                wrapped = (jnp.abs(shadow - s.astype(jnp.float32))
-                           > jnp.float32(2**30))
-                return jnp.where(wrapped | (jnp.min(counts) < 0),
-                                 jnp.int32(-1), s)
+        from ..count.table import _total
 
-            return run
-
-        s = int(jax.device_get(self._jit("total", build)(self._t.counts)))
+        # count.table's module-level jitted reducer: jit is sharding-
+        # polymorphic, so the same program cache serves single-device and
+        # mesh-sharded arrays (no duplicated wrap-detection logic either).
+        s = int(jax.device_get(_total()(self._t.counts)))
         if s < 0:
             raise OverflowError(
                 "count table entry/total exceeded int32; merge in smaller "
@@ -98,10 +89,9 @@ class DistributedCountTable:
         Tie members at the boundary follow shard order (same freedom as
         CountTable.most_common documents)."""
         if n is None:
-            from ..count.device import _rows_to_table
-            from .pipeline import _table_to_host
+            from .pipeline import table_to_host_rows
 
-            rows = _pairs(_rows_to_table(*_table_to_host(self._t)))
+            rows = _pairs(table_to_host_rows(self._t))
             rows.sort(key=lambda kv: (-kv[1], str(kv[0])))
             return rows
         import jax
@@ -113,7 +103,8 @@ class DistributedCountTable:
         k = max(1, min(k, self._t.counts.shape[0]
                        // self._mesh.devices.size))
 
-        def build():
+        key = (self._mesh, k)
+        if key not in _TOPK_STEPS:
             def body(words, lengths, counts):
                 # shard_map body: per-shard [rows/D(, W)] views
                 v, idx = jax.lax.top_k(counts, k)
@@ -127,9 +118,9 @@ class DistributedCountTable:
                 in_specs=(P("data"), P("data"), P("data")),
                 out_specs=(P(), P(), P(), P()),
                 check_vma=False)
-            return jax.jit(mapped)
+            _TOPK_STEPS[key] = jax.jit(mapped)
 
-        w, lens, cnts, mn = jax.device_get(self._jit(("topk", k), build)(
+        w, lens, cnts, mn = jax.device_get(_TOPK_STEPS[key](
             self._t.words, self._t.lengths, self._t.counts))
         if int(mn) < 0:
             raise OverflowError(
@@ -142,13 +133,47 @@ class DistributedCountTable:
 
     def values(self):
         """All live counts as host numpy int64 (order unspecified);
-        multi-controller processes exchange per-host slabs so every
-        process returns the identical multiset."""
-        from .pipeline import _scattered_to_host
+        multi-controller processes exchange per-host count slabs so every
+        process returns the identical multiset.  Only lengths + counts
+        cross the link (8 B/key) - never the words matrix - and the live
+        row count is checked against n_unique like every other scattered
+        materialization."""
+        import jax
 
-        _, lens, cnts = _scattered_to_host(
-            self._t.words, self._t.lengths, self._t.counts)
-        cnts = np.asarray(cnts, np.int64)
+        from ..count.device import PAD_LENGTH
+
+        lens_a, cnts_a = self._t.lengths, self._t.counts
+        if not isinstance(lens_a, jax.Array) or lens_a.is_fully_addressable:
+            lens, cnts = (np.asarray(x) for x in
+                          jax.device_get((lens_a, cnts_a)))
+            cnts = cnts[lens != int(PAD_LENGTH)].astype(np.int64)
+        else:
+            def _local(x):
+                shards = sorted(x.addressable_shards, key=lambda s: s.index)
+                return np.concatenate([np.asarray(s.data) for s in shards])
+
+            from jax.experimental import multihost_utils
+
+            lens, cnts = _local(lens_a), _local(cnts_a)
+            cnts = np.ascontiguousarray(
+                cnts[lens != int(PAD_LENGTH)], np.int32)
+            sizes = multihost_utils.process_allgather(
+                np.asarray([len(cnts)], np.int32))
+            max_rows = int(sizes.max())
+            # Sentinel must survive the allgather: jax runs with x64
+            # disabled, so int64 payloads silently truncate to int32 (an
+            # out-of-range sentinel like -2^40 became 0 and leaked a
+            # phantom zero count).  int32 min is distinct from live
+            # counts (>= 1) and from the poison value (-1).
+            sentinel = np.iinfo(np.int32).min
+            pad = np.full(max_rows - len(cnts), sentinel, np.int32)
+            g = multihost_utils.process_allgather(
+                np.concatenate([cnts, pad])).reshape(-1)
+            cnts = g[g != sentinel].astype(np.int64)
+        if len(cnts) != len(self):
+            raise ValueError(
+                f"scattered table live rows ({len(cnts)}) disagree with "
+                f"n_unique ({len(self)})")
         if cnts.size and int(cnts.min()) < 0:
             raise OverflowError(
                 "count table entry exceeded int32; merge in smaller pieces")
@@ -172,15 +197,11 @@ class DistributedCountTable:
         q_words = np.zeros(width, np.uint32)
         q_words[:min(len(lanes), width)] = lanes[:width]
 
-        def build():
-            @jax.jit
-            def run(words, lengths, counts, qw, ql):
-                hit = (lengths == ql) & jnp.all(words == qw[None, :], axis=1)
-                return jnp.sum(jnp.where(hit, counts, 0))
+        from ..count.table import _lookup
 
-            return run
-
-        c = int(jax.device_get(self._jit("lookup", build)(
+        # count.table's module-level jitted scan (sharding-polymorphic:
+        # the reduction partitions over the mesh automatically).
+        c = int(jax.device_get(_lookup()(
             self._t.words, self._t.lengths, self._t.counts,
             jnp.asarray(q_words), jnp.int32(q_len))))
         if c < 0:

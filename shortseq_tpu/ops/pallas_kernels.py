@@ -186,9 +186,12 @@ def _measure_pairwise(fn, a, b, repeats: int = 3,
         jax.device_get(loop(a, b, hi))
         t_lo = min(t_lo, t1 - t0)
         t_hi = min(t_hi, time.perf_counter() - t1)
-    # Jitter can still invert a span on a loaded host; a negative or zero
-    # "time" must never be cached as a winner.
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    slope = (t_hi - t_lo) / (k_hi - k_lo)
+    # Jitter can still invert a span on a loaded host; an inverted sample
+    # is a CORRUPTED measurement, so it must lose to every honest one
+    # (clamping small-positive would instead make it the guaranteed
+    # winner) - calibrate_pairwise drops non-finite entries entirely.
+    return slope if slope > 0 else float("inf")
 
 
 def calibrate_pairwise(width: int, platform: str | None = None,
@@ -238,11 +241,15 @@ def calibrate_pairwise(width: int, platform: str | None = None,
     b = jnp.asarray(rng.integers(0, 2**32, size=(cols, width),
                                  dtype=np.uint64).astype(np.uint32))
     times = {}
+    import math
+
     for name, fn in _candidates(platform).items():
         try:
-            times[name] = _measure_pairwise(fn, a, b, k_hi=k_hi)
+            t = _measure_pairwise(fn, a, b, k_hi=k_hi)
         except Exception:
             continue  # a formulation that cannot run is never the winner
+        if math.isfinite(t):
+            times[name] = t  # inverted (jitter-corrupted) samples dropped
     winner = min(times, key=times.get) if times else "jnp"
     _CALIBRATION[key] = winner
     try:
