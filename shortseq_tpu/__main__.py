@@ -5,7 +5,9 @@ surface so the north-star workload (FASTQ dedup, SURVEY.md section 3.5)
 is runnable without writing Python.
 
 Commands:
-  count FILE   exact-dedup a FASTQ (plain or gzip), print a TSV count table
+  count FILE   exact-dedup a FASTQ (plain or gzip), print a TSV count table;
+               --shards N / --checkpoint DIR run the resumable byte-range
+               production pipeline (dist/pipeline.py)
   pack SEQ...  pack sequences and show their width class, hex words, hash
   umi FILE     UMI-deduplicate FASTQ reads (molecule table to stdout)
 """
@@ -26,7 +28,9 @@ def _cmd_count(args) -> int:
         # One engine policy lives in read_and_count_fastq*; the reference
         # phase-timing print goes to stderr so stdout stays a clean table.
         with contextlib.redirect_stdout(sys.stderr):
-            if args.top:
+            if args.shards > 1 or args.checkpoint:
+                items = _count_sharded_items(args)
+            elif args.top:
                 # Lazy path: the count table stays device-/array-resident
                 # and only the top N rows are fetched and materialized
                 # (count/table.py) - never the full multi-million-object
@@ -48,6 +52,27 @@ def _cmd_count(args) -> int:
                  to_json=lambda items: {str(k): v for k, v in items},
                  to_row=lambda k, v: f"{k}\t{v}\n")
     return 0
+
+
+def _count_sharded_items(args):
+    """The resumable production pipeline from the shell: byte-range
+    shards, optional crash-safe checkpoint spills (a rerun with the same
+    --checkpoint dir skips completed shards), lazy top-N reads."""
+    from .config import PipelineConfig
+    from .count.table import CountTable
+    from .dist.pipeline import count_fastq_sharded
+
+    cfg = PipelineConfig(checkpoint_dir=args.checkpoint)
+    table = count_fastq_sharded(args.file, n_shards=max(1, args.shards),
+                                config=cfg)
+    lazy = CountTable.from_device_tables([tuple(table)])
+    print(f"sharded count: {args.shards} shard(s), "
+          f"{len(lazy)} unique sequences"
+          + (f", checkpoints in {args.checkpoint}" if args.checkpoint
+             else ""))
+    if args.top:
+        return lazy.most_common(args.top)
+    return lazy.most_common()
 
 
 def _write_table(args, items, to_json, to_row):
@@ -132,6 +157,13 @@ def main(argv=None) -> int:
                    help="JSON object instead of TSV")
     c.add_argument("--output", "-o", default=None,
                    help="write the table here instead of stdout")
+    c.add_argument("--shards", type=int, default=1,
+                   help="count in N byte-range shards (the resumable "
+                        "production pipeline; requires uncompressed FASTQ "
+                        "for N > 1)")
+    c.add_argument("--checkpoint", default=None,
+                   help="spill per-shard tables here; a rerun skips "
+                        "completed shards (crash-safe resume)")
     c.set_defaults(fn=_cmd_count)
 
     u = sub.add_parser("umi", help="UMI-deduplicate FASTQ reads")

@@ -46,6 +46,41 @@ def test_count_json_top(fastq, capsys):
     assert "unique sequences" in captured.err
 
 
+def test_count_sharded_pipeline(fastq, tmp_path, capsys):
+    """--shards routes through the resumable byte-range production
+    pipeline; the table must equal the single-shot count exactly."""
+    path, reads = fastq
+    out = tmp_path / "sharded.tsv"
+    assert main(["count", str(path), "--shards", "3", "-o", str(out)]) == 0
+    rows = [line.split("\t") for line in out.read_text().splitlines()]
+    assert {s: int(c) for s, c in rows} == dict(collections.Counter(reads))
+    assert "sharded count: 3 shard" in capsys.readouterr().err
+
+
+def test_count_checkpoint_resume(fastq, tmp_path, capsys):
+    """--checkpoint spills per-shard tables; a rerun loads them instead
+    of recounting (manifest-compatible resume), same table both times."""
+    path, reads = fastq
+    ckpt = tmp_path / "ckpt"
+    args = ["count", str(path), "--shards", "2", "--checkpoint", str(ckpt),
+            "--top", "4"]
+    assert main(args) == 0
+    first = capsys.readouterr().out
+    spills = sorted(p.name for p in ckpt.glob("counts_*.npz"))
+    assert len(spills) == 2
+    # Resume: spills untouched (loaded, not rewritten), identical output.
+    mtimes = {p.name: p.stat().st_mtime_ns for p in ckpt.glob("counts_*.npz")}
+    assert main(args) == 0
+    second = capsys.readouterr().out
+    assert first == second
+    assert mtimes == {p.name: p.stat().st_mtime_ns
+                      for p in ckpt.glob("counts_*.npz")}
+    ref = collections.Counter(reads)
+    for line in first.strip().splitlines():
+        seq, c = line.split("\t")
+        assert ref[seq] == int(c)
+
+
 def test_pack_command(capsys):
     assert main(["pack", "ACGT"]) == 0
     out = capsys.readouterr().out
