@@ -377,12 +377,13 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
         idx, cnt = neighbors_sharded_step(mesh, threshold, k, block)(
             words_np, lens_pad, gids_pad,
             np.arange(u_pad, dtype=np.int32))
+        idx, cnt = _fetch_row_sharded(idx), _fetch_row_sharded(cnt)
     else:
         _to_default_device()
         idx, cnt = _neighbor_step()(
             words_d, lengths_d, gids_d,
             threshold=threshold, k=k, block=block)
-    idx, cnt = jax.device_get((idx, cnt))
+        idx, cnt = jax.device_get((idx, cnt))
     idx = np.asarray(idx)[:u]
     cnt = np.asarray(cnt)[:u]
     # Empty slots carry the padded row count (max of the score encoding).
@@ -432,6 +433,24 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
             for i, r in enumerate(sel):
                 neighbors[r] = np.flatnonzero(adj[i][:u])
     return neighbors
+
+
+def _fetch_row_sharded(x):
+    """Host numpy of a row-sharded mesh output, multi-controller safe: a
+    plain device_get cannot fetch non-addressable shards, so each process
+    fetches its own rows and the per-host slabs are allgathered.  The
+    data mesh enumerates devices process-major, so rank-order
+    concatenation reconstructs global row order."""
+    import jax
+
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start)
+    local = np.concatenate([np.asarray(s.data) for s in shards])
+    g = multihost_utils.process_allgather(local)
+    return np.asarray(g).reshape(-1, *local.shape[1:])
 
 
 def _components(neighbors):

@@ -62,6 +62,22 @@ def main():
     some = list(result)[:10]
     for s in some:
         assert t[s] == result[s]
+
+    # Multi-host UMI dedup (BASELINE config 5): the sharded adjacency runs
+    # over the same global mesh across these real process boundaries and
+    # must match the single-device collapse bit-for-bit.
+    import numpy as np
+
+    from shortseq_tpu.umi.dedup import dedup_umis
+
+    rng = np.random.default_rng(99)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    pool = alpha[rng.integers(0, 4, size=(64, 10))]
+    umis = [pool[i].tobytes() for i in rng.integers(0, 64, size=600)]
+    l_single, r_single = dedup_umis(umis, threshold=1, method="directional")
+    l_mesh, r_mesh = dedup_umis(umis, threshold=1, method="directional",
+                                mesh=data_mesh())
+    assert (l_single == l_mesh).all() and r_single == r_mesh
     with open(out_path, "w") as f:
         json.dump(result, f, sort_keys=True)
 
