@@ -230,6 +230,38 @@ def test_empty_table():
     assert t.to_counter() == {}
 
 
+def test_random_corpus_differential(tmp_path):
+    """Randomized CountTable-vs-collections.Counter sweep across mixed
+    widths, empty reads, skewed duplication, and both engines: every lazy
+    read surface must agree with the oracle on every corpus."""
+    import random
+
+    from shortseq_tpu.io.native import get_lib
+
+    rng = random.Random(0x5EED)
+    engines = ["device"] + (["host"] if get_lib() is not None else [])
+    for trial in range(6):
+        pool = []
+        for _ in range(rng.randint(1, 25)):
+            lo, hi = rng.choice([(1, 32), (33, 96), (97, 200), (0, 0)])
+            pool.append(rand_sequence(rng, rng.randint(lo, hi)))
+        reads = [rng.choice(pool) for _ in range(rng.randint(1, 400))]
+        path = _write_fastq(tmp_path / f"rc{trial}.fastq", reads)
+        expect = collections.Counter(reads)
+        for engine in engines:
+            t = sq.read_and_count_fastq_table(path, engine=engine)
+            assert len(t) == len(expect)
+            assert t.total() == len(reads)
+            assert sorted(t.values().tolist()) == sorted(expect.values())
+            assert {str(k): v for k, v in t.most_common()} == dict(expect)
+            n = rng.randint(1, 5)
+            top = t.most_common(n)
+            want = sorted(expect.values(), reverse=True)[:n]
+            assert sorted((c for _, c in top), reverse=True) == want
+            for s in rng.sample(list(expect), min(5, len(expect))):
+                assert t[s] == expect[s]
+
+
 def test_cli_top_uses_lazy_table(tmp_path, capsys, monkeypatch):
     """`count --top N` must route through the lazy table (no full
     materialization): to_counter is forbidden via monkeypatch."""
