@@ -109,10 +109,17 @@ assert len(single) == len(sharded)
 for a, b in zip(single, sharded):
     assert sorted(a) == sorted(b)
 
-# Whole dedup pipelines agree bit-for-bit with the single-device result.
-l1, r1 = dedup_umis(umis, threshold=1, method="directional")
-l2, r2 = dedup_umis(umis, threshold=1, method="directional", mesh=mesh)
-assert (l1 == l2).all() and r1 == r2
+# Whole dedup pipelines agree bit-for-bit with the single-device result,
+# across methods/thresholds/seeds (pool sizes fixed so the padded shapes
+# stay in the compile cache across trials).
+for seed, method, thr in ((21, "directional", 1), (22, "cluster", 1),
+                          (23, "adjacency", 1), (24, "directional", 2)):
+    r = np.random.default_rng(seed)
+    p = alpha[r.integers(0, 4, size=(400, 10))]
+    us = [p[i].tobytes() for i in r.integers(0, 400, size=3000)]
+    l1, r1 = dedup_umis(us, threshold=thr, method=method)
+    l2, r2 = dedup_umis(us, threshold=thr, method=method, mesh=mesh)
+    assert (l1 == l2).all() and r1 == r2, (seed, method, thr)
 
 reads = [pool[i].tobytes() + b"ACGTACGTACGTACGT"
          for i in rng.integers(0, 400, size=2000)]
