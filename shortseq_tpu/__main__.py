@@ -62,11 +62,19 @@ def _count_sharded_items(args):
     from .count.table import CountTable
     from .dist.pipeline import count_fastq_sharded
 
+    if args.engine == "host":
+        # The sharded pipeline counts on device by construction; silently
+        # dropping an explicit engine choice would surprise exactly the
+        # user who picked it to avoid the device backend.
+        raise ValueError(
+            "--engine host is not available with --shards/--checkpoint "
+            "(the sharded pipeline counts on device); drop --engine or "
+            "run without sharding")
     cfg = PipelineConfig(checkpoint_dir=args.checkpoint)
-    table = count_fastq_sharded(args.file, n_shards=max(1, args.shards),
-                                config=cfg)
+    n_shards = max(1, args.shards)
+    table = count_fastq_sharded(args.file, n_shards=n_shards, config=cfg)
     lazy = CountTable.from_device_tables([tuple(table)])
-    print(f"sharded count: {args.shards} shard(s), "
+    print(f"sharded count: {n_shards} shard(s), "
           f"{len(lazy)} unique sequences"
           + (f", checkpoints in {args.checkpoint}" if args.checkpoint
              else ""))
@@ -157,7 +165,13 @@ def main(argv=None) -> int:
                    help="JSON object instead of TSV")
     c.add_argument("--output", "-o", default=None,
                    help="write the table here instead of stdout")
-    c.add_argument("--shards", type=int, default=1,
+    def _positive(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return n
+
+    c.add_argument("--shards", type=_positive, default=1,
                    help="count in N byte-range shards (the resumable "
                         "production pipeline; requires uncompressed FASTQ "
                         "for N > 1)")

@@ -185,6 +185,33 @@ def _scattered_to_host(words, lengths, counts):
                  g_c.reshape(-1))
 
 
+def gather_row_sharded(x):
+    """Host numpy of a ROW-sharded mesh output in global row order,
+    multi-controller safe for ANY mesh device order: each process fetches
+    its addressable shards together with their global row offsets, the
+    (rows, offsets) pairs are allgathered, and rows are scattered back to
+    their offsets - no assumption that processes own contiguous ascending
+    bands (an interleaved TPU topology or a reversed device list would
+    silently permute a rank-order concatenation)."""
+    import jax
+
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start)
+    local = np.concatenate([np.asarray(s.data) for s in shards])
+    offs = np.concatenate([
+        np.arange(s.index[0].start, s.index[0].stop, dtype=np.int32)
+        for s in shards])
+    g_rows = multihost_utils.process_allgather(local)
+    g_offs = multihost_utils.process_allgather(offs).reshape(-1)
+    g_rows = np.asarray(g_rows).reshape(-1, *local.shape[1:])
+    out = np.empty((x.shape[0], *local.shape[1:]), local.dtype)
+    out[g_offs] = g_rows
+    return out
+
+
 def table_to_host_rows(table):
     """Materialize any count table (prefix or scattered, replicated or
     mesh-sharded) as [((length, blocks64 tuple), count), ...] host rows -

@@ -436,21 +436,12 @@ def _neighbor_lists(words, lengths, threshold, gids=None, block=None,
 
 
 def _fetch_row_sharded(x):
-    """Host numpy of a row-sharded mesh output, multi-controller safe: a
-    plain device_get cannot fetch non-addressable shards, so each process
-    fetches its own rows and the per-host slabs are allgathered.  The
-    data mesh enumerates devices process-major, so rank-order
-    concatenation reconstructs global row order."""
-    import jax
+    """Host numpy of a row-sharded mesh output, multi-controller safe and
+    in GLOBAL row order for any mesh device order (neighbor row i must
+    describe UMI i).  Shared implementation: dist.pipeline.gather_row_sharded."""
+    from ..dist.pipeline import gather_row_sharded
 
-    if not isinstance(x, jax.Array) or x.is_fully_addressable:
-        return np.asarray(jax.device_get(x))
-    from jax.experimental import multihost_utils
-
-    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start)
-    local = np.concatenate([np.asarray(s.data) for s in shards])
-    g = multihost_utils.process_allgather(local)
-    return np.asarray(g).reshape(-1, *local.shape[1:])
+    return gather_row_sharded(x)
 
 
 def _components(neighbors):

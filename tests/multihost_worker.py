@@ -78,6 +78,16 @@ def main():
     l_mesh, r_mesh = dedup_umis(umis, threshold=1, method="directional",
                                 mesh=data_mesh())
     assert (l_single == l_mesh).all() and r_single == r_mesh
+
+    # A REVERSED device order breaks any rank-order reassembly assumption:
+    # gather_row_sharded must still return rows in global order.
+    import jax
+    from jax.sharding import Mesh
+
+    rev = Mesh(np.asarray(list(jax.devices())[::-1]), axis_names=("data",))
+    l_rev, r_rev = dedup_umis(umis, threshold=1, method="directional",
+                              mesh=rev)
+    assert (l_single == l_rev).all() and r_single == r_rev
     with open(out_path, "w") as f:
         json.dump(result, f, sort_keys=True)
 

@@ -81,6 +81,19 @@ def test_count_checkpoint_resume(fastq, tmp_path, capsys):
         assert ref[seq] == int(c)
 
 
+def test_count_sharded_rejects_host_engine(fastq, tmp_path, capsys):
+    path, _ = fastq
+    assert main(["count", str(path), "--shards", "2",
+                 "--engine", "host"]) == 2
+    assert "not available with --shards" in capsys.readouterr().err
+
+
+def test_count_shards_must_be_positive(fastq, capsys):
+    path, _ = fastq
+    with pytest.raises(SystemExit):
+        main(["count", str(path), "--shards", "0"])
+
+
 def test_pack_command(capsys):
     assert main(["pack", "ACGT"]) == 0
     out = capsys.readouterr().out
