@@ -271,6 +271,10 @@ def make_loop(fn, n, k0):
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        print("usage: pack_fold.py [WIDTH:FOLD ...]   e.g. 160:8 32:16")
+        return
     start_transfer_warmup()
     combos = [tuple(int(v) for v in a.split(":")) for a in sys.argv[1:]] or \
         [(32, 16), (32, 32), (96, 8), (96, 16), (160, 4), (160, 8),
