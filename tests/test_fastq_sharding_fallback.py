@@ -183,6 +183,10 @@ def test_crlf_rows_reach_validation_and_raise():
         os.unlink(path)
 
 
+FUZZ_TRIALS = int(__import__("os").environ.get(
+    "SHORTSEQ_TPU_FUZZ_TRIALS", "300"))
+
+
 class TestParserTwinFuzz:
     """Differential fuzz of the documented byte-for-byte twin contract:
     the native sharder and the pure-Python fallback must make identical
@@ -223,7 +227,7 @@ class TestParserTwinFuzz:
         if lib is None:
             pytest.skip("native io library unavailable")
         rng = random.Random(99)
-        for data in self._corpus(rng, 300):
+        for data in self._corpus(rng, FUZZ_TRIALS):
             n = len(data)
             for off in {0, 1, n // 2, max(0, n - 1), n, n + 7}:
                 assert lib.ssq_fastq_sync(data, n, off) == \
@@ -238,7 +242,7 @@ class TestParserTwinFuzz:
         if fastq_index_native(b"") is None:
             pytest.skip("native io library unavailable")
         rng = random.Random(5)
-        for data in self._corpus(rng, 300):
+        for data in self._corpus(rng, FUZZ_TRIALS):
             _, n_starts, n_lens = fastq_index_native(data)
             buf = np.frombuffer(data, np.uint8)
             if buf.size == 0:
