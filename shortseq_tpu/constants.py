@@ -46,10 +46,16 @@ CHARMAP_BYTES = (65, 67, 84, 71)               # ord() of the above
 # --- Validation -------------------------------------------------------------
 # 64-bit bloom filter; bit (char & 63) SET means the char is rejected
 # (reference util.pyx:75, util.pxd:98-99).  Of printable ASCII only the
-# uppercase bases A, C, G, T pass.  (The reference's filter also false-passes
+# uppercase bases A, C, G, T pass.  The reference's filter also FALSE-PASSES
 # control bytes 1, 3, 7, 20 and the >=128 aliases 129/131/135/148/193/195/
-# 199/212, for which it then encodes garbage; the device path here rejects
-# those instead - see ops/bitpack.py.)
+# 199/212 (for which it then encodes garbage).  CONTRACT: all four
+# implementations here - oracle.py, the device kernels in ops/bitpack.py,
+# and both native paths (csrc/shortseq_native.cpp all_acgt8,
+# csrc/fastq_index.cpp) - deliberately ACCEPT those same aliases so the
+# 256-byte accept/reject behavior is byte-for-byte identical to the
+# reference; tests/test_validation_parity.py asserts the full-range
+# agreement.  Do not "fix" any path to reject them - that would be a
+# parity break, not a bug fix.
 BLOOM = 0xFFFFFFFFFFEFFF75
 VALID_BYTES = frozenset(b"ACGT")
 
