@@ -107,10 +107,14 @@ def slope_time(loop, args, rounds=5, k_lo=K_LO, k_hi=K_HI, name=None):
     return (t_hi - t_lo) / k_span
 
 
-def bench_pack(n=1 << 18, width=160, k0=8):
+def bench_pack(n=1 << 18, width=160, k0=8, pad_valid=True,
+               stat_name="pack_nt_per_s_chip"):
     """Fused pack + bloom-validate per pass over an [n, width] slice - the
-    production row-folded kernel (ops.bitpack.pack_and_validate_folded,
-    what pack_and_validate_rows dispatches for host batches)."""
+    production row-folded one-dot kernel (ops.bitpack.
+    pack_and_validate_folded, what pack_and_validate_rows dispatches for
+    host batches).  The headline measures the pad_valid contract the
+    in-repo matrix builders satisfy (constants.PAD_BYTE tails); the
+    length-masked general path is reported as pack_masked_nt_per_s."""
     from shortseq_tpu.ops.bitpack import fold_for, pack_and_validate_folded
 
     w4 = width // 4
@@ -124,7 +128,8 @@ def bench_pack(n=1 << 18, width=160, k0=8):
     def loop(x_all, lengths_f, k):
         def body(i, acc):
             x = jax.lax.dynamic_slice_in_dim(x_all, (i % k0) * nf, nf, 0)
-            w, ok = pack_and_validate_folded(x, lengths_f, w4, unfold=False)
+            w, ok = pack_and_validate_folded(x, lengths_f, w4, unfold=False,
+                                             pad_valid=pad_valid)
             # XOR fold blocks reduce(dot) -> dot(reduce) rewrites (see
             # bench_pack_only).
             return (acc ^ jnp.bitwise_xor.reduce(w.ravel())
@@ -132,8 +137,7 @@ def bench_pack(n=1 << 18, width=160, k0=8):
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
     # 42 MB/pass: k_hi=104 keeps the slope's work delta ~4 GB >> jitter.
-    dt = slope_time(loop, (big, lengths_f), k_hi=104,
-                    name="pack_nt_per_s_chip")
+    dt = slope_time(loop, (big, lengths_f), k_hi=104, name=stat_name)
     return n * width / dt
 
 
@@ -468,6 +472,8 @@ def main():
     nt_per_s = _try(bench_pack)
     pairwise = _try(bench_pairwise)
     extra = {
+        "pack_masked_nt_per_s": _try(bench_pack, 1 << 18, 160, 8, False,
+                                     "pack_masked_nt_per_s"),
         "pack_only_nt_per_s": _try(bench_pack_only),
         "pack_unfolded_nt_per_s": _try(bench_pack_unfolded),
         "raw_stream_bytes_per_s": _try(bench_raw_stream),

@@ -326,10 +326,28 @@ def main():
             w, okk = fcat(xx, lens_f)
             return w ^ jnp.uint32(okk.all())
 
+        # The round-4 production kernel: pack + validity in ONE bf16 dot
+        # (poisoned operand + ok-columns; ops.bitpack docstring).  The
+        # pad_valid form is the headline driver metric; the masked form
+        # is the general path.  These should WIN this sweep - if a
+        # variant above beats them, the production dispatch is stale.
+        from shortseq_tpu.ops.bitpack import pack_and_validate_folded
+
+        def onedot_mask(xx, lens_f=lens_f, w4=w4):
+            w, okk = pack_and_validate_folded(xx, lens_f, w4, unfold=False)
+            return w ^ jnp.uint32(okk.all())
+
+        def onedot_pad(xx, lens_f=lens_f, w4=w4):
+            w, okk = pack_and_validate_folded(xx, lens_f, w4, unfold=False,
+                                              pad_valid=True)
+            return w ^ jnp.uint32(okk.all())
+
         variants = {
             "pack": pack1,
             "fused": fused_only,
             "fusedcat": fusedcat_only,
+            "onedot_mask": onedot_mask,
+            "onedot_pad": onedot_pad,
             "valmask": lambda xx, v=make_val_mask(w4, fold),
             lens_f=lens_f: v(xx, lens_f),
             "valnzc": lambda xx, v=make_val_nzc(w4, fold),

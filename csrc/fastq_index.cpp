@@ -5,8 +5,8 @@
 // line, this library indexes a FASTQ buffer at memory bandwidth (memchr
 // newline scan, multi-threaded) and gathers the sequence lines (the 2nd of
 // every 4-line record, trailing newline stripped - same selection as the
-// reference's `count % 2 == 0 and count % 4 != 0`) into a zero-padded
-// [N, width] uint8 matrix ready for the device pack kernel.
+// reference's `count % 2 == 0 and count % 4 != 0`) into a PAD_BYTE(0x01)-
+// padded [N, width] uint8 matrix ready for the device pack kernel.
 //
 // Byte-range sharding for multi-host runs: ssq_fastq_sync finds the first
 // record boundary at or after an arbitrary file offset using the
@@ -148,9 +148,14 @@ int64_t ssq_fastq_index(const char* buf, int64_t n, int64_t* starts,
   return total;
 }
 
-// Gather indexed sequence lines into a zero-padded row-major [n_reads, width]
-// matrix.  Rows longer than width are truncated (callers size width from the
-// max length that ssq_fastq_index reported).  Multi-threaded over rows.
+// Gather indexed sequence lines into a PAD_BYTE-padded row-major
+// [n_reads, width] matrix.  The pad byte 0x01 both passes the reference
+// bloom (a false-pass alias, util.pxd:88-127) and encodes to code 0, so
+// the device fused pack+validate can skip per-byte length masking
+// (ops/bitpack.py pad_valid=True; constants.PAD_BYTE documents the
+// contract).  Rows longer than width are truncated (callers size width
+// from the max length that ssq_fastq_index reported).  Multi-threaded
+// over rows.
 void ssq_gather_padded(const char* buf, const int64_t* starts,
                        const int32_t* lengths, int64_t n_reads, int64_t width,
                        uint8_t* out) {
@@ -165,7 +170,7 @@ void ssq_gather_padded(const char* buf, const int64_t* starts,
         uint8_t* row = out + i * width;
         int64_t len = lengths[i] < width ? lengths[i] : width;
         memcpy(row, buf + starts[i], (size_t)len);
-        memset(row + len, 0, (size_t)(width - len));
+        memset(row + len, 0x01, (size_t)(width - len));
       }
     });
   }

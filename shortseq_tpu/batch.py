@@ -23,6 +23,7 @@ import numpy as np
 from .constants import (
     MAX_VAR_NT,
     NT_PER_LANE,
+    PAD_BYTE,
     TOO_LONG_MSG,
     UNSUPPORTED_BASE_MSG,
     lanes_for_length,
@@ -30,7 +31,9 @@ from .constants import (
 
 
 def _ascii_matrix(seqs, width=None):
-    """List of str/bytes -> zero-padded uint8 matrix + lengths."""
+    """List of str/bytes -> PAD_BYTE-padded uint8 matrix + lengths (the
+    pad byte satisfies the device kernel's pad_valid contract - passes
+    the bloom, encodes to code 0; constants.PAD_BYTE)."""
     norm = [s.encode("ascii") if isinstance(s, str) else bytes(s)
             for s in seqs]
     max_len = max((len(s) for s in norm), default=0)
@@ -42,7 +45,7 @@ def _ascii_matrix(seqs, width=None):
         raise ValueError(f"width must be a multiple of {NT_PER_LANE}")
     if max_len > width:
         raise ValueError(f"width {width} is too small for a {max_len} nt read")
-    mat = np.zeros((len(norm), width), np.uint8)
+    mat = np.full((len(norm), width), PAD_BYTE, np.uint8)
     lengths = np.zeros(len(norm), np.int32)
     for i, s in enumerate(norm):
         mat[i, :len(s)] = np.frombuffer(s, np.uint8)
@@ -104,7 +107,10 @@ class PackedBatch:
         if len(seqs) == 0:
             return cls(jnp.zeros((0, 1), jnp.uint32), jnp.asarray(lengths))
         start_transfer_warmup()
-        words, ok = pack_and_validate_rows(mat.view(np.uint32), lengths)
+        # pad_valid: _ascii_matrix pads with PAD_BYTE (bloom-passing,
+        # code-0), so the kernel skips per-byte length masking (~1.5x).
+        words, ok = pack_and_validate_rows(mat.view(np.uint32), lengths,
+                                           pad_valid=True)
         ok = np.asarray(ok)
         if not ok.all():
             i = int(np.argmin(ok))

@@ -59,6 +59,17 @@ CHARMAP_BYTES = (65, 67, 84, 71)               # ord() of the above
 BLOOM = 0xFFFFFFFFFFEFFF75
 VALID_BYTES = frozenset(b"ACGT")
 
+# Padding byte for in-repo ASCII matrices (io.read_fastq_matrix,
+# batch._ascii_matrix, count/ingest builders): 0x01 both PASSES the bloom
+# (1 is a false-pass alias, see above) and ENCODES to code 0 ((1>>1)&3),
+# so packed word tails stay zero (the reference's zero-filled tail
+# convention, util.pyx:94) while the device fused pack+validate can skip
+# per-byte length masking entirely (ops.bitpack pad_valid=True - the
+# one-dot kernel's fast contract; bytes 'A'/0x41/0x81/0xC1 would satisfy
+# it too).  Matrices from OUTSIDE the repo may pad with anything; they
+# take the length-masked path (pad_valid=False, the default).
+PAD_BYTE = 0x01
+
 UNSUPPORTED_BASE_MSG = "Unsupported base character"
 TOO_LONG_MSG = f"Sequences longer than {MAX_VAR_NT} bases are not supported."
 LENGTH_MISMATCH_MSG = "Hamming distance requires sequences of equal length"

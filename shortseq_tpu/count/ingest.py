@@ -43,19 +43,29 @@ def quarter_pow2(n: int, floor: int = 256) -> int:
 
 
 def pack_validate_padded(rows: np.ndarray, val_lengths: np.ndarray,
-                         min_pad: int = 256):
+                         min_pad: int = 256, pad_valid: bool = False):
     """Device pack + validate of a host byte matrix with the repo's
     batch-padding rule in ONE place: the row count pads to a quarter-pow2
     step (>= min_pad; see quarter_pow2 - closed compile-shape set, pad
     waste bounded at 25% instead of pow2's +100%, and pad rows are h2d
-    transfer) with zero rows whose validation length is 0 (vacuously
-    valid).  Quarter steps >= 256 stay divisible by the row-fold factors
-    the pack kernels pick (fold_for caps at 64 and shrinks to divide).
+    transfer) with PAD_BYTE rows whose validation length is 0 (vacuously
+    valid - PAD_BYTE also passes the bloom and encodes to code 0, so the
+    pad rows satisfy the pad_valid kernel contract).  Quarter steps
+    >= 256 stay divisible by the row-fold factors the pack kernels pick
+    (fold_for caps at 64 and shrinks to divide).
+
+    pad_valid: pass True only when `rows` came from an in-repo builder
+    (read_fastq_matrix, _ascii_matrix) whose tail bytes are PAD_BYTE -
+    the device kernel then skips per-byte length masking (~1.5x faster
+    fused pack+validate; ops.bitpack.pack_and_validate_folded).
 
     Returns (words [N_pad, width//16] device, ok [N] host bool): words
     keep the padded batch dim (device consumers want the padded shape);
-    ok is sliced back to the caller's N rows.
+    ok is sliced back to the caller's N rows.  Rows with ok=False have
+    unspecified words (callers raise or filter; the reference raises
+    before words are observable).
     """
+    from ..constants import PAD_BYTE
     from ..ops.bitpack import pack_and_validate_rows
 
     n, width = rows.shape
@@ -63,10 +73,12 @@ def pack_validate_padded(rows: np.ndarray, val_lengths: np.ndarray,
     val_lengths = np.ascontiguousarray(val_lengths, np.int32)
     n_pad = quarter_pow2(n, floor=min_pad)
     if n_pad != n:
-        rows = np.pad(rows, ((0, n_pad - n), (0, 0)))
+        rows = np.pad(rows, ((0, n_pad - n), (0, 0)),
+                      constant_values=PAD_BYTE)
         val_lengths = np.pad(val_lengths, (0, n_pad - n))
     words, ok = pack_and_validate_rows(
-        np.ascontiguousarray(rows).view(np.uint32), val_lengths)
+        np.ascontiguousarray(rows).view(np.uint32), val_lengths,
+        pad_valid=pad_valid)
     return words, np.asarray(ok)[:n]
 
 

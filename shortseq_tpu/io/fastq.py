@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..constants import PAD_BYTE
+
 
 def _is_gzip(filename) -> bool:
     with open(filename, "rb") as f:
@@ -142,9 +144,11 @@ def fastq_line_index(buf: np.ndarray):
 
 
 def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
-    """Parse a FASTQ file into a zero-padded `[N, L]` uint8 matrix plus
-    `[N]` int32 lengths, L rounded up to a multiple of `pad_to` (static
-    shapes for XLA).
+    """Parse a FASTQ file into a PAD_BYTE-padded `[N, L]` uint8 matrix
+    plus `[N]` int32 lengths, L rounded up to a multiple of `pad_to`
+    (static shapes for XLA).  The pad byte (constants.PAD_BYTE, 0x01)
+    passes the reference bloom and encodes to code 0, so the device fused
+    pack+validate can skip length masking (ops.bitpack pad_valid=True).
 
     Uses the native C++ sharder (csrc/fastq_index.cpp) when available -
     multi-threaded memchr indexing at memory bandwidth - and falls back to
@@ -195,6 +199,7 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
         keep = col[None, :] < lengths[lo:hi, None]
         np.take(buf, np.minimum(idx, buf.size - 1), out=mat[lo:hi])
         mat[lo:hi] *= keep
+        mat[lo:hi] += np.uint8(PAD_BYTE) * ~keep   # pad_valid contract
     return mat, lengths
 
 

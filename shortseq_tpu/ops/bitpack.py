@@ -43,16 +43,25 @@ Design (TPU-first, not a translation of the reference's BMI2 pext tricks):
   pass moves up to 16x the logical bytes (W4 = 8 for the 32-nt bucket).
   `pack_and_validate_rows` folds F consecutive rows into one
   ([N/F, F*W4], a free host-side reshape) so tiles are full; the
-  compaction matrix becomes block-diagonal (still one dot), per-lane
-  lengths broadcast through a constant dot, and the per-row bad-byte
-  reduction is a third dot with a tiny output.  Measured on v5e: folded
-  pack-only reaches ~550-880 G nt/s (HBM speed of light for 1 B/nt read
-  + 0.25 B/nt write is ~880; raw stream 1105 GB/s) vs ~294 unfolded,
-  and fused pack+validate ~300 vs ~200 unfolded.  Measurement rule
-  learned the hard way: each DISTINCT big dot operand costs one full
-  read of the input (operands fuse into reads; outputs materialize),
-  so formulations with one big operand win - see benchmarks/pack_fold.py
-  and docs/PERF.md.
+  compaction matrix becomes block-diagonal (still one dot).  Measured on
+  v5e: folded pack-only reaches ~550-880 G nt/s (HBM speed of light for
+  1 B/nt read + 0.25 B/nt write is ~880; raw stream 1105 GB/s) vs ~294
+  unfolded.  Measurement rule learned the hard way: each DISTINCT big
+  dot operand costs one full read of the input (operands fuse into
+  reads; outputs materialize), so formulations with one big operand
+  win - see benchmarks/pack_fold.py and docs/PERF.md.
+
+* Fused pack + validate is ONE dot (round 4): the operand is the codes
+  byte POISONED to 2^20 on bloom-failing lanes, and the block-diagonal
+  matrix gains `fold` ok-columns whose sums reveal poisoned rows while
+  clean rows' pack columns stay integer-exact (pack_and_validate_folded
+  docstring has the full argument).  Under the PAD_BYTE builder contract
+  (pad_valid=True: tail bytes pass the bloom and encode to 0) the kernel
+  skips per-byte length masking and measures 500-585 G nt/s - within
+  noise of pack-only, i.e. validation rides the pack's own HBM read and
+  MXU pass for free; with masking (foreign matrices) 350-390.  The
+  round-3 three-dot formulation measured ~300 (two big operands = two
+  input reads).
 """
 
 from __future__ import annotations
@@ -165,29 +174,34 @@ def _byte_ok(c: jax.Array) -> jax.Array:
     return (hit == 1) & ((c & jnp.uint32(32)) == 0)
 
 
-def _eqz(y: jax.Array) -> jax.Array:
-    # Exact per-byte zero test: bit 7 of each byte set iff the byte is
-    # zero.  (y & 0x7F) + 0x7F sets bit 7 iff the low 7 bits are
-    # nonzero; | y catches bit 7 itself; no cross-byte carries.
-    return ~(((y & jnp.uint32(0x7F7F7F7F)) + jnp.uint32(0x7F7F7F7F))
-             | y) & jnp.uint32(0x80808080)
-
-
 def _bloom_fail_bits(x_u32: jax.Array) -> jax.Array:
     """0x80 bit per byte that fails the reference bloom (is not one of
     the 4 pass values of (c & 63)).
 
-    SWAR formulation: all 4 bytes of a lane are tested at once with exact
-    per-byte zero tests against the 4 pass values - no per-byte variable
-    shifts, so XLA fuses this into the same input read as the pack
-    (measured ~800 G nt/s standalone on v5e vs ~460 for the shift
-    formulation; benchmarks/pack_variants.py)."""
-    m = x_u32 & jnp.uint32(0x3F3F3F3F)            # (c & 63) per byte
-    ok_b = (_eqz(m ^ jnp.uint32(0x01010101))       # 'A' & 63
-            | _eqz(m ^ jnp.uint32(0x03030303))     # 'C' & 63
-            | _eqz(m ^ jnp.uint32(0x07070707))     # 'G' & 63
-            | _eqz(m ^ jnp.uint32(0x14141414)))    # 'T' & 63
-    return ~ok_b & jnp.uint32(0x80808080)
+    Code-reconstruction formulation (round 4): a byte passes the bloom
+    iff (c & 63) equals the canonical byte RECONSTRUCTED from its own
+    2-bit code (c >> 1) & 3 - the pass set {1, 3, 7, 20} maps to codes
+    {0, 1, 3, 2} bijectively, so one per-byte compare replaces four
+    per-value zero tests.  exp = 1 + 2*code, except code 2 ('T' & 63 =
+    20) which needs +15: is2 = (code & ~(code << 1)) & 2 isolates code 2
+    (value 2 per byte), and (is2 << 3) - (is2 >> 1) adds 16 - 1 = 15.
+    All arithmetic stays within each byte (code <= 3, exp <= 20, is2 has
+    only bit 1 -> no cross-byte carries or shifts).  ~16 VPU ops/lane vs
+    ~29 for the four-way zero-test SWAR, and the `c` here CSEs with the
+    pack's own code computation in a fused program - the fused
+    pack+validate is VPU-bound on this chip, so ops/lane is the lever
+    (measured: fused rose from ~300 to >=550 G nt/s with this + the
+    one-read kernel; benchmarks/pack_fold.py, docs/PERF.md).  Verified
+    equal to the reference bloom on all 256 byte values in
+    tests/test_validation_parity.py (incl. the false-pass aliases
+    {1,3,7,20} + 64/128/192 offsets with bit 5 clear)."""
+    c = (x_u32 >> 1) & jnp.uint32(0x03030303)      # shared with the pack
+    t = c << 1
+    is2 = (c & ~t) & jnp.uint32(0x02020202)
+    exp = (jnp.uint32(0x01010101) + t + (is2 << 3)) - (is2 >> 1)
+    diff = (x_u32 & jnp.uint32(0x3F3F3F3F)) ^ exp
+    return ((((diff & jnp.uint32(0x7F7F7F7F)) + jnp.uint32(0x7F7F7F7F))
+             | diff) & jnp.uint32(0x80808080))
 
 
 def _tail_mask(rem: jax.Array) -> jax.Array:
@@ -256,9 +270,12 @@ def _folded_mats(w4: int, fold: int):
       high (b2 + 256*b3);
     * spread `[fold, fold*w4]`: 0/1 broadcasting per-logical-row lengths
       to each row's lanes;
-    * collect `[fold*w4, fold]` (= spread.T): sums bad-lane indicators
-      per logical row;
-    * lane_in_row `[fold*w4]`: each lane's index within its logical row.
+    * lane_in_row `[fold*w4]`: each lane's index within its logical row;
+    * pe `[fold*w4, 2*fold*w + fold]`: the EXTENDED one-dot matrix - the
+      pack block-diagonal plus `fold` ok-columns (= spread.T, weight 1 on
+      each logical row's lanes) that sum the poisoned operand per row,
+      so pack AND validity ride ONE dot / one input read (see
+      pack_and_validate_folded).
     """
     w = w4 // 4
     fw = fold * w
@@ -272,7 +289,8 @@ def _folded_mats(w4: int, fold: int):
             p[f * w4 + 4 * j + 3, fw + f * w + j] = 256.0
         spread[f, f * w4:(f + 1) * w4] = 1.0
     lane_in_row = np.tile(np.arange(w4, dtype=np.float32), fold)
-    return p, spread, lane_in_row
+    pe = np.concatenate([p, spread.T], axis=1)
+    return p, spread, lane_in_row, pe
 
 
 def fold_for(w4: int, n: int, target_lanes: int = 128) -> int:
@@ -295,10 +313,22 @@ def fold_for(w4: int, n: int, target_lanes: int = 128) -> int:
     return fold
 
 
-@functools.partial(jax.jit, static_argnames=("w4", "unfold"))
+# Poison constant for the one-dot fused pack+validate: a bloom-failing
+# lane's operand value becomes 2^20 (bf16-exact) instead of its 0..255
+# codes byte, so any column that sums it exceeds _POISON_THRESH while
+# clean ok-columns stay <= 255 * w4 <= 65280 and clean pack columns stay
+# exact (<= 65535 < 2^24, f32-accumulated).  The threshold sits 8x above
+# the max clean value and 2x below the min poisoned one.
+_POISON = 2.0 ** 20
+_POISON_THRESH = 2.0 ** 19
+
+
+@functools.partial(jax.jit, static_argnames=("w4", "unfold", "pad_valid"))
 def pack_and_validate_folded(x_f: jax.Array, lengths_f: jax.Array,
-                             w4: int, unfold: bool = True):
-    """Fused pack + validate on a row-folded batch.
+                             w4: int, unfold: bool = True,
+                             pad_valid: bool = False):
+    """Fused pack + validate on a row-folded batch - ONE dot, ONE input
+    read (round-4 redesign; VERDICT r03 next-step 2).
 
     Args:
       x_f:       `[N/F, F*w4]` uint32 - F consecutive logical rows per
@@ -308,30 +338,59 @@ def pack_and_validate_folded(x_f: jax.Array, lengths_f: jax.Array,
       w4:        lanes per logical row (static).
       unfold:    return `[N, w4/4]` words and `[N]` ok (reshape inside the
                  same program) instead of the folded layouts.
+      pad_valid: the caller guarantees every byte at or past a row's
+                 length passes the reference bloom AND encodes to code 0
+                 (bytes 0x01/'A'/0x81/0xC1; constants.PAD_BYTE) - the
+                 contract all in-repo matrix builders satisfy.  Skips the
+                 length-masking work entirely: measured ~584 G nt/s vs
+                 ~390 with masking vs ~292 for the previous three-dot
+                 formulation (benchmarks/pack_fold.py, docs/PERF.md).
 
-    The 4:1 compaction is one bf16 dot against a block-diagonal constant
-    (exact: products are 8-bit ints times powers of two, f32-accumulated,
-    sums < 2^24).  Validation keeps the length-mask semantics by
-    broadcasting lengths to lanes with a constant f32 dot (f32 because
-    lengths up to 1024 exceed bf16's mantissa) and reducing bad-lane
-    indicators per logical row with a third dot whose output is tiny.
+    How one dot carries both results: the operand is the codes byte
+    (0..255, bf16-exact) per lane, POISONED to 2^20 where the lane holds
+    a bloom-failing in-range byte.  The extended constant matrix `pe`
+    (_folded_mats) appends `fold` ok-columns (weight 1 on each logical
+    row's lanes) to the pack block-diagonal, so:
+      * clean logical rows: their pack columns see only exact 0..255
+        values (the block-diagonal isolates rows) -> bit-exact words;
+        their ok-column sums <= 255 * w4 < 2^19 -> ok.
+      * poisoned rows: ok-column >= 2^20 > threshold -> not ok; their
+        pack columns are garbage, but the contract (api layers, ingest)
+        raises/filters those rows, matching the reference, whose
+        marshalling also writes garbage for rejected bytes before the
+        caller sees the raised error (util.pyx:100-119 encodes; the
+        bloom check at util.pxd:116-127 gates).
+    Validation cost thus rides the same MXU pass and the same HBM read
+    as the pack.  Detection is exact: f32 accumulation is exact for the
+    clean range, and a poisoned sum is >= 2^20 - |rounding| >> 2^19.
     """
     nf, lanes = x_f.shape
     fold = lanes // w4
-    words = _pack_folded_raw(x_f, w4)
-    _, spread, lane_in_row = _folded_mats(w4, fold)
+    w = w4 // 4
+    fw = fold * w
+    _, spread, lane_in_row, pe = _folded_mats(w4, fold)
     dn = (((1,), (0,)), ((), ()))
-    len_lane = jax.lax.dot_general(
-        lengths_f.astype(jnp.float32), jnp.asarray(spread, jnp.float32), dn,
-        preferred_element_type=jnp.float32)
-    rem = jnp.clip(len_lane - 4.0 * jnp.asarray(lane_in_row)[None, :],
-                   0.0, 4.0).astype(jnp.int32)
-    badf = ((_bloom_fail_bits(x_f) & _tail_mask(rem)) != 0) \
-        .astype(jnp.bfloat16)
-    badrow = jax.lax.dot_general(
-        badf, jnp.asarray(spread.T, jnp.bfloat16), dn,
-        preferred_element_type=jnp.float32)
-    ok = badrow == 0.0
+    fail = _bloom_fail_bits(x_f)
+    if pad_valid:
+        badlane = fail != 0
+    else:
+        # Mask tail bytes (at/past each row's length) out of the fail
+        # bits: lengths broadcast to lanes via a tiny constant f32 dot
+        # (f32: lengths up to 1024 exceed bf16's mantissa).
+        len_lane = jax.lax.dot_general(
+            lengths_f.astype(jnp.float32), jnp.asarray(spread, jnp.float32),
+            dn, preferred_element_type=jnp.float32)
+        rem = jnp.clip(len_lane - 4.0 * jnp.asarray(lane_in_row)[None, :],
+                       0.0, 4.0).astype(jnp.int32)
+        badlane = (fail & _tail_mask(rem)) != 0
+    b = jnp.where(badlane, jnp.bfloat16(_POISON),
+                  _codes_byte(x_f).astype(jnp.bfloat16))
+    r = jax.lax.dot_general(b, jnp.asarray(pe, jnp.bfloat16), dn,
+                            preferred_element_type=jnp.float32)
+    lo = r[:, :fw].astype(jnp.uint32)
+    hi = r[:, fw:2 * fw].astype(jnp.uint32)
+    words = lo | (hi << 16)
+    ok = r[:, 2 * fw:] < _POISON_THRESH
     if unfold:
         return words.reshape(nf * fold, w4 // 4), ok.reshape(nf * fold)
     return words, ok
@@ -348,7 +407,7 @@ def _pack_folded_raw(x_f: jax.Array, w4: int) -> jax.Array:
             "(pad the byte matrix to a multiple of 16 columns)")
     fold = lanes // w4
     fw = fold * (w4 // 4)
-    p, _, _ = _folded_mats(w4, fold)
+    p = _folded_mats(w4, fold)[0]
     dn = (((1,), (0,)), ((), ()))
     b = _codes_byte(x_f).astype(jnp.bfloat16)
     r = jax.lax.dot_general(b, jnp.asarray(p, jnp.bfloat16), dn,
@@ -383,29 +442,35 @@ def pack_rows(mat_u32: np.ndarray) -> jax.Array:
         jnp.asarray(mat_u32.reshape(n // fold, fold * w4)), w4)
 
 
-def pack_and_validate_rows(mat_u32: np.ndarray, lengths: np.ndarray):
+def pack_and_validate_rows(mat_u32: np.ndarray, lengths: np.ndarray,
+                           pad_valid: bool = False):
     """Host entry for the hot construction path (SURVEY 3.1): numpy
     `[N, w4]` uint32 view + `[N]` lengths -> device (`[N, w4/4]` words,
     `[N]` ok), row-folded for full-tile HBM traffic when the batch shape
-    allows it.  The reshapes here are free host views."""
+    allows it.  The reshapes here are free host views.  pad_valid: see
+    pack_and_validate_folded - pass True only when the byte matrix was
+    built by an in-repo builder (pad bytes are PAD_BYTE)."""
     n, w4 = mat_u32.shape
     fold = fold_for(w4, n)
     if fold == 1:
         return pack_and_validate_u32(jnp.asarray(mat_u32),
-                                     jnp.asarray(lengths))
+                                     jnp.asarray(lengths),
+                                     pad_valid=pad_valid)
     lengths = np.ascontiguousarray(lengths, np.int32)
     return pack_and_validate_folded(
         jnp.asarray(mat_u32.reshape(n // fold, fold * w4)),
-        jnp.asarray(lengths.reshape(n // fold, fold)), w4)
+        jnp.asarray(lengths.reshape(n // fold, fold)), w4,
+        pad_valid=pad_valid)
 
 
-@jax.jit
-def pack_and_validate_u32(x_u32: jax.Array, lengths: jax.Array):
+@functools.partial(jax.jit, static_argnames=("pad_valid",))
+def pack_and_validate_u32(x_u32: jax.Array, lengths: jax.Array,
+                          pad_valid: bool = False):
     """Fused pack + validity mask on the u32-viewed byte matrix (the hot
-    construction path, SURVEY 3.1).  XLA fuses the codes/validity
-    elementwise work into one read of the input feeding the compaction
-    matmuls."""
-    return pack_words_u32(x_u32), validate_u32(x_u32, lengths)
+    construction path, SURVEY 3.1) - the fold=1 case of the one-dot
+    pack_and_validate_folded."""
+    return pack_and_validate_folded(x_u32, lengths[:, None], x_u32.shape[1],
+                                    unfold=True, pad_valid=pad_valid)
 
 
 @jax.jit
@@ -413,4 +478,4 @@ def pack_and_validate(ascii_u8: jax.Array, lengths: jax.Array):
     """Fused pack + validity mask from a u8 matrix (compatibility path;
     pays one u8->u32 relayout that pack_and_validate_u32 avoids)."""
     x = _u8_to_u32(ascii_u8)
-    return pack_words_u32(x), validate_u32(x, lengths)
+    return pack_and_validate_u32(x, lengths)

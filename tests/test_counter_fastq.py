@@ -74,10 +74,15 @@ class TestFastq:
         mat, lengths = read_fastq_matrix(path)
         assert mat.shape[0] == 100
         assert mat.shape[1] % 16 == 0
+        from shortseq_tpu.constants import PAD_BYTE
+
         for i, r in enumerate(reads):
             assert lengths[i] == len(r)
             assert mat[i, : len(r)].tobytes() == r.encode()
-            assert not mat[i, len(r):].any()
+            # Tail bytes are PAD_BYTE (bloom-passing, code-0): the device
+            # fused pack+validate skips length masking on these matrices
+            # (ops/bitpack.py pad_valid contract).
+            assert (mat[i, len(r):] == PAD_BYTE).all()
 
     def test_missing_final_newline(self, tmp_path):
         path = tmp_path / "t.fastq"

@@ -155,13 +155,17 @@ def test_folded_pack_matches_rows(rng, width):
     words, ok = pack_and_validate_rows(u32, lengths)
     ref_w = np.asarray(pack_words_u32(jnp.asarray(u32)))
     ref_ok = np.asarray(validate_u32(jnp.asarray(u32), jnp.asarray(lengths)))
-    assert (np.asarray(words) == ref_w).all()
+    # Contract (one-dot poison kernel, round 4): words are bit-exact for
+    # VALID rows; rows with ok=False have unspecified words - every
+    # caller raises or filters them, matching the reference, which
+    # raises before packed words are observable (short_seq_64.pyx:105).
     assert (np.asarray(ok) == ref_ok).all()
+    assert (np.asarray(words)[ref_ok] == ref_w[ref_ok]).all()
     assert not ref_ok.all() and ref_ok.any()
     # odd batch size: fold_for must fall back to a dividing fold
     words3, ok3 = pack_and_validate_rows(u32[:255], lengths[:255])
-    assert (np.asarray(words3) == ref_w[:255]).all()
     assert (np.asarray(ok3) == ref_ok[:255]).all()
+    assert (np.asarray(words3)[ref_ok[:255]] == ref_w[:255][ref_ok[:255]]).all()
 
 
 @pytest.mark.parametrize("length", [1, 16, 31, 32, 33, 96, 97, 500, 1024])
@@ -216,3 +220,79 @@ class TestPairwiseMXU:
         d = np.asarray(hamming_pairwise_mxu(zero, ones))
         assert (d == 1024).all()
         assert (np.asarray(hamming_pairwise_mxu(zero, zero)) == 0).all()
+
+
+class TestOneDotPadValid:
+    """Contract tests for the round-4 one-dot fused pack+validate
+    (ops/bitpack.py pack_and_validate_folded): pad_valid=True skips
+    length masking under the PAD_BYTE contract; both forms agree with
+    the standalone validate on their respective contracts."""
+
+    def _batch(self, n, width, seed=0, pad_byte=None):
+        import numpy as np
+
+        from shortseq_tpu.constants import PAD_BYTE
+
+        pad_byte = PAD_BYTE if pad_byte is None else pad_byte
+        rng = np.random.default_rng(seed)
+        lengths = rng.integers(0, width + 1, size=n).astype(np.int32)
+        codes = rng.integers(0, 4, size=(n, width)).astype(np.uint8)
+        mat = np.frombuffer(b"ACTG", np.uint8)[codes].copy()
+        col = np.arange(width)[None, :]
+        mat[col >= lengths[:, None]] = pad_byte
+        return mat, lengths
+
+    @pytest.mark.parametrize("width", [32, 96, 160])
+    def test_pad_valid_agrees_with_masked(self, width):
+        import numpy as np
+
+        from shortseq_tpu.ops.bitpack import pack_and_validate_rows
+
+        mat, lengths = self._batch(512, width, seed=width)
+        # bad bytes INSIDE rows must still be caught without the mask
+        rng = np.random.default_rng(1)
+        for i in range(0, 512, 13):
+            if lengths[i]:
+                mat[i, rng.integers(0, lengths[i])] = ord("N")
+        u32 = np.ascontiguousarray(mat).view(np.uint32)
+        w_m, ok_m = pack_and_validate_rows(u32, lengths)
+        w_p, ok_p = pack_and_validate_rows(u32, lengths, pad_valid=True)
+        ok_m, ok_p = np.asarray(ok_m), np.asarray(ok_p)
+        assert (ok_m == ok_p).all()
+        assert not ok_m.all() and ok_m.any()
+        assert (np.asarray(w_m)[ok_m] == np.asarray(w_p)[ok_m]).all()
+
+    def test_zero_padding_rejected_under_pad_valid(self):
+        """A zero-padded matrix VIOLATES the pad_valid contract: byte 0
+        fails the bloom, so ragged rows are rejected - the loud failure
+        mode that catches a caller passing a foreign matrix with
+        pad_valid=True."""
+        import numpy as np
+
+        from shortseq_tpu.ops.bitpack import pack_and_validate_rows
+
+        mat, lengths = self._batch(256, 32, seed=3, pad_byte=0)
+        u32 = np.ascontiguousarray(mat).view(np.uint32)
+        _, ok_m = pack_and_validate_rows(u32, lengths)
+        _, ok_p = pack_and_validate_rows(u32, lengths, pad_valid=True)
+        assert np.asarray(ok_m).all()          # masked path: all valid
+        ragged = lengths < 32
+        assert (np.asarray(ok_p) == ~ragged).all()
+
+    def test_builders_satisfy_contract(self):
+        """Every in-repo matrix builder pads with PAD_BYTE, so its output
+        passes pad_valid validation bit-for-bit."""
+        import numpy as np
+
+        from shortseq_tpu.batch import _ascii_matrix
+        from shortseq_tpu.constants import PAD_BYTE
+        from shortseq_tpu.ops.bitpack import pack_and_validate_rows
+
+        seqs = ["ACGT" * k for k in (1, 3, 7, 8)] + ["", "A", "G" * 31]
+        mat, lengths = _ascii_matrix(seqs, width=32)
+        col = np.arange(32)[None, :]
+        assert (mat[col >= lengths[:, None]] == PAD_BYTE).all()
+        _, ok = pack_and_validate_rows(
+            np.ascontiguousarray(mat).view(np.uint32), lengths,
+            pad_valid=True)
+        assert np.asarray(ok).all()
