@@ -382,10 +382,15 @@ static inline uint64_t hash_row(const uint32_t* row, int64_t wpr,
 //
 // Partitioned by high hash bits so each thread owns a disjoint slice of
 // key space: no locks, deterministic counts.
+// `weights` (nullable): per-row occurrence weights instead of 1 - the
+// WEIGHTED count that merges already-deduped (rows, counts) tables
+// exactly (streaming ingest: per-slice tables concatenated and
+// re-counted with their counts as weights; api/counter.py).
 static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
                                int64_t n, int64_t wpr, uint32_t* out_words,
                                int32_t* out_lengths, int64_t* out_counts,
-                               int64_t* out_inverse) {
+                               int64_t* out_inverse,
+                               const int64_t* weights = nullptr) {
   if (n == 0) return 0;
   unsigned hw = std::thread::hardware_concurrency();
   int nthreads = 1;
@@ -483,7 +488,7 @@ static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
               continue;
             }
             P.slot[s] = i;
-            P.count[s] = 1;
+            P.count[s] = weights ? weights[i] : 1;
             P.ord[s] = (int64_t)P.uniq.size();
             P.uniq.push_back((int64_t)s);
             if (out_inverse) out_inverse[i] = P.ord[s];
@@ -492,7 +497,7 @@ static int64_t host_count_impl(const uint32_t* words, const int32_t* lengths,
           if (hashes[occ] == h && lengths[occ] == lengths[i] &&
               memcmp(words + occ * wpr, words + i * wpr,
                      (size_t)wpr * 4) == 0) {
-            ++P.count[s];
+            P.count[s] += weights ? weights[i] : 1;
             if (out_inverse) out_inverse[i] = P.ord[s];
             break;
           }
@@ -551,6 +556,14 @@ int64_t ssq_host_count_inv(const uint32_t* words, const int32_t* lengths,
                            int64_t* out_inverse) {
   return host_count_impl(words, lengths, n, wpr, out_words, out_lengths,
                          out_counts, out_inverse);
+}
+
+int64_t ssq_host_count_w(const uint32_t* words, const int32_t* lengths,
+                         const int64_t* weights, int64_t n, int64_t wpr,
+                         uint32_t* out_words, int32_t* out_lengths,
+                         int64_t* out_counts) {
+  return host_count_impl(words, lengths, n, wpr, out_words, out_lengths,
+                         out_counts, nullptr, weights);
 }
 
 }  // extern "C"

@@ -304,25 +304,61 @@ def read_and_count_fastq(filename, engine: str = "auto") -> ShortSeqCounter:
       so the host engine wins whenever it exists; multi-host runs use
       read_and_count_fastq_distributed, which is always on-device.
     """
-    t1 = time.time()
-    table, n_reads = _read_and_count_table(filename, engine)
-    counts = table.to_counter()
-    t3 = time.time()
+    from ..utils.profiling import PhaseTimings, phase_timer
 
-    print(f"{table._read_seconds:.2f}s to read {n_reads} total seqs, "
-          f"and {t3 - t1 - table._read_seconds:.2f}s to count "
+    timings = PhaseTimings()
+    with phase_timer("total", timings):
+        table, n_reads = _read_and_count_table(filename, engine)
+        counts = table.to_counter()
+    timings.add("read", table._read_seconds)
+    timings.add("count", timings.phases["total"] - table._read_seconds)
+    print(f"{timings.phases['read']:.2f}s to read {n_reads} total seqs, "
+          f"and {timings.phases['count']:.2f}s to count "
           f"{len(counts)} unique sequences")
     return counts
+
+
+#: Files larger than this stream through byte-range slices instead of one
+#: whole-file read, bounding host RSS at O(slice + unique table) rather
+#: than O(file) (VERDICT r03 next-step 3; the reference's getline loop
+#: streams too, fast_read.pyx:3-20).  Override with the
+#: SHORTSEQ_TPU_STREAM_BYTES env var (also the slice size).
+DEFAULT_STREAM_BYTES = 1 << 30
+
+
+def _stream_bytes() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("SHORTSEQ_TPU_STREAM_BYTES",
+                                  DEFAULT_STREAM_BYTES))
+    except ValueError:
+        return DEFAULT_STREAM_BYTES
 
 
 def _read_and_count_table(filename, engine: str):
     """Shared engine policy: index the FASTQ, count with the requested
     engine, return (CountTable, n_reads).  The read-phase seconds are
-    stashed on the table for the reference-style timing print."""
-    from ..io.fastq import read_fastq_index
+    stashed on the table for the reference-style timing print.
+
+    Files above the streaming threshold are counted in byte-range slices
+    (same record-sync boundaries as the multi-host sharder) so host
+    memory stays O(slice + unique table), not O(file); gzip streams have
+    no random access and keep the whole-file path."""
+    from ..io.fastq import _is_gzip, read_fastq_index
 
     if engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown engine {engine!r}")
+    import os
+
+    stream_bytes = _stream_bytes()
+    try:
+        size = os.path.getsize(filename)
+    except OSError:
+        size = 0
+    if size > stream_bytes and not _is_gzip(filename):
+        return _read_and_count_table_streamed(filename, engine, size,
+                                              stream_bytes)
     t1 = time.time()
     data, starts, lengths = read_fastq_index(filename)
     t2 = time.time()
@@ -338,17 +374,97 @@ def _read_and_count_table(filename, engine: str):
     return table, len(lengths)
 
 
+def _read_and_count_table_streamed(filename, engine: str, size: int,
+                                   stream_bytes: int):
+    """Bounded-memory ingest: index+gather+count one byte-range slice at
+    a time (record-synced boundaries - the exact decisions of the
+    multi-host sharder, io.fastq.fastq_sync), keep only each slice's
+    compact unique table, and merge once at the end.
+
+    Host engine: per-slice native hash counts, merged with ONE weighted
+    native count over the concatenated unique rows (counts as weights -
+    csrc ssq_host_count_w), all host-side.  Device engine: per-slice
+    device tables fetched to compact host tuples, merged with one device
+    unique_count per width (count/checkpoint.merge_host_tuples).  Either
+    way peak RSS is O(slice + total uniques) instead of O(file)
+    (tests/test_streaming_ingest.py asserts the cap in a subprocess).
+    """
+    import numpy as np
+
+    from ..count.ingest import packed_buckets
+    from ..count.table import CountTable
+    from ..io.fastq import read_fastq_index
+    from ..io.native import get_lib, host_count_native, \
+        host_count_weighted_native
+
+    use_host = engine in ("auto", "host") and get_lib() is not None
+    if engine == "host" and get_lib() is None:
+        raise RuntimeError("engine='host' requires the native library (g++)")
+    n_slices = -(-size // stream_bytes)
+    by_width: dict[int, list] = {}
+    t_read = 0.0
+    n_reads = 0
+    for s in range(n_slices):
+        lo = s * size // n_slices
+        hi = (s + 1) * size // n_slices
+        t0 = time.time()
+        data, starts, lengths = read_fastq_index(filename,
+                                                 byte_range=(lo, hi))
+        t_read += time.time() - t0
+        n_reads += len(lengths)
+        if len(lengths) == 0:
+            continue
+        if use_host:
+            for words, sub_len in packed_buckets(data, starts, lengths,
+                                                 pad_pow2=False):
+                by_width.setdefault(words.shape[1], []).append(
+                    host_count_native(words, sub_len))
+        else:
+            from ..dist.pipeline import _table_to_host
+
+            t = count_indexed_device_table(data, starts, lengths)
+            for b in t._buckets:
+                by_width.setdefault(b.width, []).append(
+                    _table_to_host((b.words, b.lengths, b.counts,
+                                    b.n_unique)))
+        del data, starts, lengths  # the slice buffer must not outlive
+        # the iteration - holding two slices would double the RSS bound
+    if use_host:
+        tables = []
+        for width, parts in sorted(by_width.items()):
+            if len(parts) == 1:
+                tables.append(parts[0])
+                continue
+            w = np.concatenate([p[0] for p in parts])
+            lens = np.concatenate([p[1] for p in parts])
+            c = np.concatenate([p[2] for p in parts]).astype(np.int64)
+            tables.append(host_count_weighted_native(w, lens, c))
+        table = CountTable.from_host_tables(tables)
+    else:
+        from ..count.checkpoint import merge_host_tuples
+
+        table = CountTable.from_device_tables(
+            [merge_host_tuples(parts)
+             for _, parts in sorted(by_width.items())])
+    table._read_seconds = t_read
+    return table, n_reads
+
+
 def read_and_count_fastq_table(filename, engine: str = "auto"):
     """Lazy form of read_and_count_fastq: returns a count.table.CountTable
     instead of a materialized dict, so partial consumers (`--top N`,
     len/total, membership probes) never pay for constructing millions of
     Python objects.  Same engine policy and identical logical contents;
     call .to_counter() for the reference-identical dict."""
-    t0 = time.time()
-    table, n_reads = _read_and_count_table(filename, engine)
-    n_unique = len(table)  # forces the device n_unique fetch: honest timing
-    t1 = time.time()
-    print(f"{table._read_seconds:.2f}s to read {n_reads} total seqs, "
-          f"and {t1 - t0 - table._read_seconds:.2f}s to count "
+    from ..utils.profiling import PhaseTimings, phase_timer
+
+    timings = PhaseTimings()
+    with phase_timer("total", timings):
+        table, n_reads = _read_and_count_table(filename, engine)
+        n_unique = len(table)  # forces the device n_unique fetch: honest
+    timings.add("read", table._read_seconds)
+    timings.add("count", timings.phases["total"] - table._read_seconds)
+    print(f"{timings.phases['read']:.2f}s to read {n_reads} total seqs, "
+          f"and {timings.phases['count']:.2f}s to count "
           f"{n_unique} unique sequences")
     return table

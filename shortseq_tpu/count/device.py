@@ -60,59 +60,62 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
                 jnp.zeros((max(n_out, 1),), jnp.int32),
                 jnp.int32(0))
 
+    from ..utils.profiling import named_scope
+
     # 1. Lexicographic sort.  Keys: length first (cheap early discriminator
     # and groups the PAD rows last), then lanes most-significant-first so
     # equal reads are adjacent.  Lanes compare as uint32; jax.lax.sort
     # sorts unsigned dtypes by value.
-    operands = (lengths,) + tuple(words[:, j] for j in range(w)) + (weights,)
-    sorted_ops = jax.lax.sort(operands, num_keys=1 + w)
-    s_lengths = sorted_ops[0]
-    s_lanes = sorted_ops[1:1 + w]
-    s_weights = sorted_ops[-1]
+    with named_scope("ssq.unique_count"):
+        operands = (lengths,) + tuple(words[:, j] for j in range(w)) + (weights,)
+        sorted_ops = jax.lax.sort(operands, num_keys=1 + w)
+        s_lengths = sorted_ops[0]
+        s_lanes = sorted_ops[1:1 + w]
+        s_weights = sorted_ops[-1]
 
-    # 2. Segment boundaries.
-    def _differs(col):
-        return jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), col[1:] != col[:-1]])
+        # 2. Segment boundaries.
+        def _differs(col):
+            return jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), col[1:] != col[:-1]])
 
-    is_new = _differs(s_lengths)
-    for lane in s_lanes:
-        is_new = is_new | _differs(lane)
-    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # [N]
+        is_new = _differs(s_lengths)
+        for lane in s_lanes:
+            is_new = is_new | _differs(lane)
+        seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # [N]
 
-    # 3. Per-group reductions.  All rows of a group carry identical keys,
-    # so the duplicate scatter writes below are deterministic.
-    live = s_lengths != PAD_LENGTH
-    live_weights = jnp.where(live, s_weights, 0)
-    counts = jax.ops.segment_sum(live_weights, seg_id, num_segments=n_out)
-    # int32 wrap detection (device ints are 32-bit; jax_enable_x64 is off).
-    # A wrap that lands negative is caught by the host-side min() < 0 check;
-    # a wrap that lands positive (3+ large addends, e.g. 3 x 1.9e9 = +1.4e9
-    # mod 2^32) is caught by comparing against a float32 shadow sum: any
-    # wrap shifts the int32 result by >= 2^32 while float32 accumulation
-    # error stays orders of magnitude below the 2^30 threshold.  Wrapped
-    # groups are poisoned to -1 so every materialization path raises.
-    counts_f = jax.ops.segment_sum(
-        live_weights.astype(jnp.float32), seg_id, num_segments=n_out)
-    wrapped = jnp.abs(counts_f - counts.astype(jnp.float32)) > jnp.float32(2**30)
-    counts = jnp.where(wrapped, jnp.int32(-1), counts)
-    u_words = jnp.zeros((n_out, w), jnp.uint32).at[seg_id].set(
-        jnp.stack(s_lanes, axis=1), mode="drop")
-    u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(
-        s_lengths, mode="drop")
+        # 3. Per-group reductions.  All rows of a group carry identical keys,
+        # so the duplicate scatter writes below are deterministic.
+        live = s_lengths != PAD_LENGTH
+        live_weights = jnp.where(live, s_weights, 0)
+        counts = jax.ops.segment_sum(live_weights, seg_id, num_segments=n_out)
+        # int32 wrap detection (device ints are 32-bit; jax_enable_x64 is off).
+        # A wrap that lands negative is caught by the host-side min() < 0 check;
+        # a wrap that lands positive (3+ large addends, e.g. 3 x 1.9e9 = +1.4e9
+        # mod 2^32) is caught by comparing against a float32 shadow sum: any
+        # wrap shifts the int32 result by >= 2^32 while float32 accumulation
+        # error stays orders of magnitude below the 2^30 threshold.  Wrapped
+        # groups are poisoned to -1 so every materialization path raises.
+        counts_f = jax.ops.segment_sum(
+            live_weights.astype(jnp.float32), seg_id, num_segments=n_out)
+        wrapped = jnp.abs(counts_f - counts.astype(jnp.float32)) > jnp.float32(2**30)
+        counts = jnp.where(wrapped, jnp.int32(-1), counts)
+        u_words = jnp.zeros((n_out, w), jnp.uint32).at[seg_id].set(
+            jnp.stack(s_lanes, axis=1), mode="drop")
+        u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(
+            s_lengths, mode="drop")
 
-    # PAD rows sort strictly after every live row (PAD_LENGTH is the int32
-    # max and length is the leading sort key), so live rows are a prefix.
-    # Count the groups of that prefix - robust even when dead rows carry
-    # stale words and split into several trailing pad groups.
-    live_count = jnp.sum(live.astype(jnp.int32))
-    n_unique = jnp.where(
-        live_count > 0,
-        seg_id[jnp.maximum(live_count - 1, 0)] + 1,
-        0).astype(jnp.int32)
-    # Normalize the pad group's slot so padding is canonical.
-    u_lengths = jnp.where(jnp.arange(n_out) < n_unique, u_lengths, PAD_LENGTH)
-    counts = jnp.where(jnp.arange(n_out) < n_unique, counts, 0)
+        # PAD rows sort strictly after every live row (PAD_LENGTH is the int32
+        # max and length is the leading sort key), so live rows are a prefix.
+        # Count the groups of that prefix - robust even when dead rows carry
+        # stale words and split into several trailing pad groups.
+        live_count = jnp.sum(live.astype(jnp.int32))
+        n_unique = jnp.where(
+            live_count > 0,
+            seg_id[jnp.maximum(live_count - 1, 0)] + 1,
+            0).astype(jnp.int32)
+        # Normalize the pad group's slot so padding is canonical.
+        u_lengths = jnp.where(jnp.arange(n_out) < n_unique, u_lengths, PAD_LENGTH)
+        counts = jnp.where(jnp.arange(n_out) < n_unique, counts, 0)
     return u_words, u_lengths, counts, n_unique
 
 

@@ -49,10 +49,13 @@ class ShardedCountTable(NamedTuple):
 
 def _local_count_and_merge(words, lengths, weights):
     """shard_map body: local unique -> all_gather tables -> re-unique."""
+    from ..utils.profiling import named_scope
+
     u_words, u_lengths, u_counts, _ = unique_count(words, lengths, weights)
-    g_words = jax.lax.all_gather(u_words, "data", tiled=True)
-    g_lengths = jax.lax.all_gather(u_lengths, "data", tiled=True)
-    g_counts = jax.lax.all_gather(u_counts, "data", tiled=True)
+    with named_scope("ssq.merge_allgather"):
+        g_words = jax.lax.all_gather(u_words, "data", tiled=True)
+        g_lengths = jax.lax.all_gather(u_lengths, "data", tiled=True)
+        g_counts = jax.lax.all_gather(u_counts, "data", tiled=True)
     return unique_count(g_words, g_lengths, g_counts)
 
 
@@ -178,9 +181,12 @@ def count_sharded_bucketed(mesh: Mesh, capacity_factor: float = 2.0,
                 parts, "data", split_axis=0, concat_axis=0, tiled=False
             ).reshape(n_dev * cap, *x.shape[1:])
 
-        r_words = a2a(send_words)
-        r_lengths = a2a(send_lengths)
-        r_weights = a2a(send_weights)
+        from ..utils.profiling import named_scope
+
+        with named_scope("ssq.bucket_exchange"):
+            r_words = a2a(send_words)
+            r_lengths = a2a(send_lengths)
+            r_weights = a2a(send_weights)
 
         # Local dedup of this device's disjoint key range.
         u_w, u_l, u_c, n_u = unique_count(r_words, r_lengths, r_weights)

@@ -31,8 +31,19 @@ import numpy as np
 
 # Process-wide cache of the jitted per-mesh top-k steps, keyed by
 # (mesh, k): a per-instance cache would re-trace identical programs for
-# every table built over the same mesh.
+# every table built over the same mesh.  BOUNDED as a simple FIFO-evicting
+# dict (ADVICE r03: each entry pins a compiled shard_map closure and a
+# Mesh with device refs; long-lived processes querying many n values or
+# rebuilding meshes would otherwise accumulate them without limit).  k is
+# already pow2-bucketed, so 16 slots cover several meshes x several k.
 _TOPK_STEPS: dict = {}
+_TOPK_STEPS_MAX = 16
+
+
+def _topk_step_put(key, step):
+    while len(_TOPK_STEPS) >= _TOPK_STEPS_MAX:
+        _TOPK_STEPS.pop(next(iter(_TOPK_STEPS)))
+    _TOPK_STEPS[key] = step
 
 
 def distributed_count_table(table, mesh):
@@ -118,7 +129,7 @@ class DistributedCountTable:
                 in_specs=(P("data"), P("data"), P("data")),
                 out_specs=(P(), P(), P(), P()),
                 check_vma=False)
-            _TOPK_STEPS[key] = jax.jit(mapped)
+            _topk_step_put(key, jax.jit(mapped))
 
         w, lens, cnts, mn = jax.device_get(_TOPK_STEPS[key](
             self._t.words, self._t.lengths, self._t.counts))

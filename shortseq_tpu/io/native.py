@@ -125,6 +125,9 @@ def get_lib():
         lib.ssq_host_count_inv.restype = i64
         lib.ssq_host_count_inv.argtypes = [p_u32, p_i32, i64, i64, p_u32,
                                            p_i32, p_i64, p_i64]
+        lib.ssq_host_count_w.restype = i64
+        lib.ssq_host_count_w.argtypes = [p_u32, p_i32, p_i64, i64, i64,
+                                         p_u32, p_i32, p_i64]
         _lib = lib
         return _lib
 
@@ -277,4 +280,29 @@ def host_count_native(words: np.ndarray, lengths: np.ndarray,
         _as_ptr(words, ctypes.c_uint32), _as_ptr(lengths, ctypes.c_int32),
         n, wpr, _as_ptr(out_w, ctypes.c_uint32),
         _as_ptr(out_l, ctypes.c_int32), _as_ptr(out_c, ctypes.c_int64))
+    return out_w[:m].copy(), out_l[:m].copy(), out_c[:m].copy()
+
+
+def host_count_weighted_native(words: np.ndarray, lengths: np.ndarray,
+                               weights: np.ndarray):
+    """Weighted exact dedup of packed rows: like host_count_native but
+    each row contributes weights[i] instead of 1 - the exact merge of
+    already-deduped (rows, counts) tables (streaming ingest concatenates
+    per-slice unique tables and re-counts with counts as weights;
+    api/counter.py).  Returns None when the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.int64)
+    n, wpr = words.shape
+    out_w = np.empty((n, wpr), dtype=np.uint32)
+    out_l = np.empty(n, dtype=np.int32)
+    out_c = np.empty(n, dtype=np.int64)
+    m = lib.ssq_host_count_w(
+        _as_ptr(words, ctypes.c_uint32), _as_ptr(lengths, ctypes.c_int32),
+        _as_ptr(weights, ctypes.c_int64), n, wpr,
+        _as_ptr(out_w, ctypes.c_uint32), _as_ptr(out_l, ctypes.c_int32),
+        _as_ptr(out_c, ctypes.c_int64))
     return out_w[:m].copy(), out_l[:m].copy(), out_c[:m].copy()

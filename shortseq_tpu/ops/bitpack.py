@@ -152,15 +152,19 @@ def unpack_ascii(words: jax.Array, out_len: int | None = None) -> jax.Array:
     past a row's true length decode to 'A' (code 0) and must be sliced off
     by the caller.
     """
-    b8 = _u32_to_u8(words)                         # [N, 4W], 4 codes per byte
-    z = b8.astype(jnp.uint32)
-    spread = (z | (z << 6) | (z << 12) | (z << 18)) & jnp.uint32(0x03030303)
-    codes = _u32_to_u8(spread)                     # [N, 16W] one code per byte
-    # code -> ascii: 0->A(65) 1->C(67) 2->T(84) 3->G(71)
-    ascii_out = jnp.where(
-        codes == 0, jnp.uint8(65),
-        jnp.where(codes == 1, jnp.uint8(67),
-                  jnp.where(codes == 2, jnp.uint8(84), jnp.uint8(71))))
+    from ..utils.profiling import named_scope
+
+    with named_scope("ssq.unpack"):
+        b8 = _u32_to_u8(words)                     # [N, 4W], 4 codes per byte
+        z = b8.astype(jnp.uint32)
+        spread = (z | (z << 6) | (z << 12) | (z << 18)) \
+            & jnp.uint32(0x03030303)
+        codes = _u32_to_u8(spread)                 # [N, 16W] one code per byte
+        # code -> ascii: 0->A(65) 1->C(67) 2->T(84) 3->G(71)
+        ascii_out = jnp.where(
+            codes == 0, jnp.uint8(65),
+            jnp.where(codes == 1, jnp.uint8(67),
+                      jnp.where(codes == 2, jnp.uint8(84), jnp.uint8(71))))
     if out_len is not None:
         ascii_out = ascii_out[:, :out_len]
     return ascii_out
@@ -364,33 +368,37 @@ def pack_and_validate_folded(x_f: jax.Array, lengths_f: jax.Array,
     as the pack.  Detection is exact: f32 accumulation is exact for the
     clean range, and a poisoned sum is >= 2^20 - |rounding| >> 2^19.
     """
+    from ..utils.profiling import named_scope
+
     nf, lanes = x_f.shape
     fold = lanes // w4
     w = w4 // 4
     fw = fold * w
     _, spread, lane_in_row, pe = _folded_mats(w4, fold)
     dn = (((1,), (0,)), ((), ()))
-    fail = _bloom_fail_bits(x_f)
-    if pad_valid:
-        badlane = fail != 0
-    else:
-        # Mask tail bytes (at/past each row's length) out of the fail
-        # bits: lengths broadcast to lanes via a tiny constant f32 dot
-        # (f32: lengths up to 1024 exceed bf16's mantissa).
-        len_lane = jax.lax.dot_general(
-            lengths_f.astype(jnp.float32), jnp.asarray(spread, jnp.float32),
-            dn, preferred_element_type=jnp.float32)
-        rem = jnp.clip(len_lane - 4.0 * jnp.asarray(lane_in_row)[None, :],
-                       0.0, 4.0).astype(jnp.int32)
-        badlane = (fail & _tail_mask(rem)) != 0
-    b = jnp.where(badlane, jnp.bfloat16(_POISON),
-                  _codes_byte(x_f).astype(jnp.bfloat16))
-    r = jax.lax.dot_general(b, jnp.asarray(pe, jnp.bfloat16), dn,
-                            preferred_element_type=jnp.float32)
-    lo = r[:, :fw].astype(jnp.uint32)
-    hi = r[:, fw:2 * fw].astype(jnp.uint32)
-    words = lo | (hi << 16)
-    ok = r[:, 2 * fw:] < _POISON_THRESH
+    with named_scope("ssq.pack_validate"):
+        fail = _bloom_fail_bits(x_f)
+        if pad_valid:
+            badlane = fail != 0
+        else:
+            # Mask tail bytes (at/past each row's length) out of the fail
+            # bits: lengths broadcast to lanes via a tiny constant f32 dot
+            # (f32: lengths up to 1024 exceed bf16's mantissa).
+            len_lane = jax.lax.dot_general(
+                lengths_f.astype(jnp.float32),
+                jnp.asarray(spread, jnp.float32),
+                dn, preferred_element_type=jnp.float32)
+            rem = jnp.clip(len_lane - 4.0 * jnp.asarray(lane_in_row)[None, :],
+                           0.0, 4.0).astype(jnp.int32)
+            badlane = (fail & _tail_mask(rem)) != 0
+        b = jnp.where(badlane, jnp.bfloat16(_POISON),
+                      _codes_byte(x_f).astype(jnp.bfloat16))
+        r = jax.lax.dot_general(b, jnp.asarray(pe, jnp.bfloat16), dn,
+                                preferred_element_type=jnp.float32)
+        lo = r[:, :fw].astype(jnp.uint32)
+        hi = r[:, fw:2 * fw].astype(jnp.uint32)
+        words = lo | (hi << 16)
+        ok = r[:, 2 * fw:] < _POISON_THRESH
     if unfold:
         return words.reshape(nf * fold, w4 // 4), ok.reshape(nf * fold)
     return words, ok
@@ -405,15 +413,18 @@ def _pack_folded_raw(x_f: jax.Array, w4: int) -> jax.Array:
         raise ValueError(
             f"pack input lane count {w4} is not a multiple of 4 "
             "(pad the byte matrix to a multiple of 16 columns)")
+    from ..utils.profiling import named_scope
+
     fold = lanes // w4
     fw = fold * (w4 // 4)
     p = _folded_mats(w4, fold)[0]
     dn = (((1,), (0,)), ((), ()))
-    b = _codes_byte(x_f).astype(jnp.bfloat16)
-    r = jax.lax.dot_general(b, jnp.asarray(p, jnp.bfloat16), dn,
-                            preferred_element_type=jnp.float32)
-    return (r[:, :fw].astype(jnp.uint32)
-            | (r[:, fw:].astype(jnp.uint32) << 16))
+    with named_scope("ssq.pack"):
+        b = _codes_byte(x_f).astype(jnp.bfloat16)
+        r = jax.lax.dot_general(b, jnp.asarray(p, jnp.bfloat16), dn,
+                                preferred_element_type=jnp.float32)
+        return (r[:, :fw].astype(jnp.uint32)
+                | (r[:, fw:].astype(jnp.uint32) << 16))
 
 
 @functools.partial(jax.jit, static_argnames=("w4", "unfold"))

@@ -19,13 +19,16 @@ import jax
 import jax.numpy as jnp
 
 from .bitpack import collapse_xor
+from ..utils.profiling import named_scope
 
 
 @jax.jit
 def hamming_rows(a_words: jax.Array, b_words: jax.Array) -> jax.Array:
     """Row-wise hamming: `[N, W] x [N, W] -> [N]` int32."""
-    c = collapse_xor(a_words ^ b_words)
-    return jnp.sum(jax.lax.population_count(c), axis=-1).astype(jnp.int32)
+    with named_scope("ssq.hamming_rows"):
+        c = collapse_xor(a_words ^ b_words)
+        return jnp.sum(jax.lax.population_count(c), axis=-1) \
+            .astype(jnp.int32)
 
 
 @jax.jit
@@ -36,8 +39,10 @@ def hamming_pairwise(a_words: jax.Array, b_words: jax.Array) -> jax.Array:
     Broadcasts the XOR; fine up to a few thousand rows per tile - larger
     problems should tile via ops.pallas_kernels.hamming_pairwise_tiled.
     """
-    c = collapse_xor(a_words[:, None, :] ^ b_words[None, :, :])
-    return jnp.sum(jax.lax.population_count(c), axis=-1).astype(jnp.int32)
+    with named_scope("ssq.pairwise_jnp"):
+        c = collapse_xor(a_words[:, None, :] ^ b_words[None, :, :])
+        return jnp.sum(jax.lax.population_count(c), axis=-1) \
+            .astype(jnp.int32)
 
 
 def one_hot_codes(words: jax.Array) -> jax.Array:
@@ -65,7 +70,8 @@ def hamming_pairwise_mxu(a_words: jax.Array, b_words: jax.Array) -> jax.Array:
     operand expansion because pairwise work is O(N*M) while operands are
     O(N+M)."""
     w = a_words.shape[1]
-    matches = jax.lax.dot_general(
-        one_hot_codes(a_words), one_hot_codes(b_words),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    return (w * 16 - matches).astype(jnp.int32)
+    with named_scope("ssq.pairwise_mxu"):
+        matches = jax.lax.dot_general(
+            one_hot_codes(a_words), one_hot_codes(b_words),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return (w * 16 - matches).astype(jnp.int32)

@@ -223,6 +223,17 @@ def calibrate_pairwise(width: int, platform: str | None = None,
         except (OSError, ValueError):
             pass
 
+    # The measurement below costs multiple seconds of synchronous wall
+    # time hidden inside the first pairwise call - say so ONCE instead of
+    # looking like a hang (ADVICE r03: latency invisible to callers).
+    import logging
+
+    logging.getLogger(__name__).info(
+        "shortseq_tpu: one-time pairwise-hamming calibration for %s "
+        "(a few seconds; cached at %s; pre-warm explicitly with "
+        "calibrate_pairwise(width), or pin a path with "
+        "SHORTSEQ_TPU_PAIRWISE)", key, path)
+
     rng = np.random.default_rng(0)
     # Off-TPU (CI containers, dev laptops) the full-size calibration costs
     # a minute+ of first-call latency per width (the jnp candidate alone
@@ -251,19 +262,66 @@ def calibrate_pairwise(width: int, platform: str | None = None,
         if math.isfinite(t):
             times[name] = t  # inverted (jitter-corrupted) samples dropped
     winner = min(times, key=times.get) if times else "jnp"
+    # Multi-controller runs: timing jitter could pick DIFFERENT winners
+    # per process (bit-exact either way, but latency skews and collective
+    # programs built around the choice would diverge).  Process 0's
+    # winner is broadcast so every process agrees (ADVICE r03).
+    try:
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            order = sorted(_candidates(platform))
+            idx = np.int32(order.index(winner))
+            idx = int(multihost_utils.broadcast_one_to_all(idx))
+            winner = order[idx]
+    except Exception:
+        pass  # single-controller or no mesh yet: local winner stands
     _CALIBRATION[key] = winner
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # O_EXCL lock around the read-modify-write: concurrent first-run
+        # processes calibrating different widths would otherwise drop
+        # each other's entries (last writer wins) and force a later
+        # re-calibration (ADVICE r03).  A stale lock (killed process) is
+        # ignored after 30 s - the cache is an optimization, never a
+        # correctness requirement.
+        lock = f"{path}.lock"
+        import time as _time
+
+        got_lock = False
+        for _ in range(100):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                got_lock = True
+                break
+            except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lock) > 30:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    pass
+                _time.sleep(0.05)
         try:
-            with open(path) as f:
-                disk = json.load(f)
-        except (OSError, ValueError):
-            disk = {}
-        disk[key] = {"winner": winner, "times": times}
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(disk, f)
-        os.replace(tmp, path)
+            try:
+                with open(path) as f:
+                    disk = json.load(f)
+            except (OSError, ValueError):
+                disk = {}
+            disk[key] = {"winner": winner, "times": times}
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(disk, f)
+            os.replace(tmp, path)
+        finally:
+            if got_lock:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
     except OSError:
         pass  # disk cache is an optimization, never a requirement
     return times

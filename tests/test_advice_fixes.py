@@ -118,3 +118,65 @@ def test_update_from_table_small_int_merge():
         update_counter_from_host_table(
             c, words, lengths, np.array([1, 300], np.int64))
     assert sorted(c.values()) == [3, 900], dict(c)
+
+
+class TestRound3AdviceFixes:
+    """Round-3 advisor findings (ADVICE.md r03)."""
+
+    def test_topk_step_cache_is_bounded(self):
+        from shortseq_tpu.dist import table as dt
+
+        dt._TOPK_STEPS.clear()
+        for i in range(3 * dt._TOPK_STEPS_MAX):
+            dt._topk_step_put(("mesh", i), object())
+        assert len(dt._TOPK_STEPS) <= dt._TOPK_STEPS_MAX
+        # newest entries survive FIFO eviction
+        assert ("mesh", 3 * dt._TOPK_STEPS_MAX - 1) in dt._TOPK_STEPS
+        dt._TOPK_STEPS.clear()
+
+    def test_setup_py_has_no_unconditional_march_native(self):
+        """A wheel built with -march=native can SIGILL on an older CPU;
+        setup.py must gate it behind SHORTSEQ_TPU_MARCH_NATIVE (the
+        on-demand JIT build, which always compiles on the running host,
+        keeps it unconditionally)."""
+        import os
+
+        import ast
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = open(os.path.join(root, "setup.py")).read()
+        # every -march=native occurrence in CODE (not docstring) must sit
+        # inside the env-gated append, never in a base flags list
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.List):
+                flags = [getattr(e, "value", None) for e in node.elts]
+                assert "-march=native" not in flags, \
+                    "unconditional -march=native in a flags list"
+        assert 'os.environ.get("SHORTSEQ_TPU_MARCH_NATIVE")' in src
+        jit = open(os.path.join(
+            root, "shortseq_tpu", "native_build.py")).read()
+        assert "-march=native" in jit
+
+    def test_calibration_cache_keeps_concurrent_keys(self, tmp_path,
+                                                     monkeypatch):
+        """The locked read-modify-write must preserve other widths'
+        entries (last-writer-wins dropped them before)."""
+        from shortseq_tpu.ops import pallas_kernels as pk
+
+        monkeypatch.setattr(pk, "_calib_file",
+                            lambda: str(tmp_path / "calib.json"))
+        monkeypatch.setattr(pk, "_CALIB_ROWS", 8)
+        monkeypatch.setattr(pk, "_CALIB_COLS", 16)
+        pk._CALIBRATION.clear()
+        pk.calibrate_pairwise(2, force=True)
+        pk.calibrate_pairwise(6, force=True)
+        import json
+
+        disk = json.load(open(tmp_path / "calib.json"))
+        keys = set(disk)
+        assert any(k.endswith("/w2") for k in keys)
+        assert any(k.endswith("/w6") for k in keys)
+        assert not list(tmp_path.glob("*.lock"))  # lock released
+        pk._CALIBRATION.clear()
