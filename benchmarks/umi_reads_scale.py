@@ -38,9 +38,69 @@ def make_reads(n, n_mol, umi_len=8, insert_len=20, err=0.02, seed=0):
     return mat, which
 
 
+def make_ragged_reads(n, n_mol, umi_len=8, err=0.02, seed=1):
+    """Ragged library: molecules with insert lengths drawn from four
+    values, returned as a list of bytes (the ragged input form)."""
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    ins_lens = rng.choice([16, 20, 24, 28], size=n_mol)
+    mols = [alpha[rng.integers(0, 4, size=umi_len + il)] for il in ins_lens]
+    which = rng.integers(0, n_mol, size=n)
+    hit = rng.random(n) < err
+    pos = rng.integers(0, umi_len, size=n)
+    sub = alpha[rng.integers(0, 4, size=n)]
+    reads = []
+    for i, m in enumerate(which):
+        r = mols[m]
+        if hit[i]:
+            r = r.copy()
+            r[pos[i]] = sub[i]
+        reads.append(r.tobytes())
+    return reads
+
+
+def ragged_bench(n, seed=1):
+    """Measure the length-bucketed ragged path (VERDICT r03 next-step 7)
+    against the per-read Python dict path it replaced.  The Python path
+    runs on a subsample (it is the ~40x-slower side); rates are
+    reads/s."""
+    import shortseq_tpu.umi.dedup as dd
+
+    n_mol = max(n // 10, 10)
+    reads = make_ragged_reads(n, n_mol)
+    dd.dedup_reads(reads[:50_000], len_5p=8)  # warm compiles
+
+    t0 = time.perf_counter()
+    labels, molecules = dd.dedup_reads(reads, len_5p=8)
+    bucketed_s = time.perf_counter() - t0
+
+    sample = min(200_000, n)
+    real = dd._unique_rows
+    try:
+        dd._unique_rows = lambda mat: None
+        t0 = time.perf_counter()
+        s_labels, s_molecules = dd.dedup_reads(reads[:sample], len_5p=8)
+        python_s = time.perf_counter() - t0
+    finally:
+        dd._unique_rows = real
+    # Parity spot check on the sampled prefix (full differential lives in
+    # tests/test_umi.py::test_ragged_path_matches_python_path).
+    f_labels, _ = dd.dedup_reads(reads[:sample], len_5p=8)
+    assert (f_labels == s_labels).all()
+    return {
+        "ragged_reads": int(n),
+        "ragged_reads_per_s": n / bucketed_s,
+        "ragged_python_reads_per_s": sample / python_s,
+        "ragged_speedup": (n / bucketed_s) / (sample / python_s),
+        "ragged_molecules_found": len(molecules),
+        "ragged_molecules_true": int(n_mol),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--ragged-n", type=int, default=2_000_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -86,6 +146,8 @@ def main():
         "sampled_molecules": len(maj),
         "backend": jax.devices()[0].platform,
     }
+    if args.ragged_n:
+        result.update(ragged_bench(args.ragged_n))
     line = json.dumps(result)
     print(line)
     if args.out:

@@ -17,7 +17,9 @@ Pipeline shape (each stage's why lives on its function):
 
   group     - unique (insert, UMI) keys + counts + per-item inverse via
               the threaded native hash counter (_unique_rows); uniform-
-              length inputs take a fully vectorized matrix path, and an
+              length inputs take a fully vectorized matrix path, ragged
+              lists a length-bucketed variant of it (one bucket per read
+              length, re-ranked to global first-occurrence order), and an
               [N, L] uint8 matrix is accepted directly (zero per-read
               Python objects).
   adjacency - packed 2-bit words; [block, U] distance slabs from the
@@ -664,6 +666,92 @@ def _dedup_reads_matrix(mat, len_5p, len_3p, method, threshold, block,
     return labels_u[inverse], molecules
 
 
+def _dedup_reads_ragged(norm, lengths_all, len_5p, len_3p, method,
+                        threshold, block, mesh=None):
+    """Length-bucketed vectorized dedup_reads for ragged read lists.
+
+    Reads of different lengths can never share an insert (insert length
+    = read length - fixed UMI lengths, and bytes of unequal length are
+    unequal), so grouping decomposes exactly by read length: each bucket
+    runs the same two native hash-counts as the uniform matrix path
+    (_dedup_reads_matrix), then the per-bucket uniques are re-ranked into
+    GLOBAL first-occurrence order so labels and molecules stay
+    bit-identical to the Python dict path.  UMIs are fixed-width
+    (len_5p + len_3p) across buckets, so one packed clustering pass
+    covers everything - no per-read Python dict/Counter work anywhere.
+    Returns None when the native library is unavailable.
+    """
+    n = len(norm)
+    umi_len = len_5p + len_3p
+    per_bucket = []  # (uniq_mat, ins_lo, ins_hi): molecule extraction
+    umi_parts, counts_parts, gids_parts, first_parts = [], [], [], []
+    bucket_parts, row_parts = [], []
+    inverse_global = np.empty(n, np.int64)
+    gid_offset = 0
+    u_total = 0
+    for bi, lng in enumerate(np.unique(lengths_all)):
+        idx = np.flatnonzero(lengths_all == lng)
+        lng = int(lng)
+        mat = np.frombuffer(b"".join(norm[i] for i in idx),
+                            np.uint8).reshape(len(idx), lng)
+        res = _unique_rows(mat)
+        if res is None:
+            return None
+        uniq_mat, counts, inverse = res
+        m = len(counts)
+        ins_lo, ins_hi = len_5p, lng - len_3p
+        res_g = _unique_rows(np.ascontiguousarray(uniq_mat[:, ins_lo:ins_hi]))
+        if res_g is None:
+            return None
+        # Global first-occurrence read index per bucket-unique: idx is
+        # ascending, so within-bucket first occurrence IS the global one
+        # among this bucket's reads (reversed write keeps the smallest).
+        first = np.empty(m, np.int64)
+        first[inverse[::-1]] = idx[::-1]
+        if len_3p:
+            umi_mat = np.concatenate(
+                [uniq_mat[:, :len_5p], uniq_mat[:, ins_hi:]], axis=1)
+        else:
+            umi_mat = uniq_mat[:, :len_5p]
+        inverse_global[idx] = inverse + u_total
+        umi_parts.append(umi_mat)
+        counts_parts.append(counts)
+        gids_parts.append(res_g[2] + gid_offset)
+        first_parts.append(first)
+        bucket_parts.append(np.full(m, bi, np.int64))
+        row_parts.append(np.arange(m, dtype=np.int64))
+        per_bucket.append((uniq_mat, ins_lo, ins_hi))
+        gid_offset += len(res_g[1])
+        u_total += m
+    first = np.concatenate(first_parts)
+    # Re-rank uniques into global first-occurrence order (dict parity).
+    order = np.argsort(first, kind="stable")
+    rank = np.empty(u_total, np.int64)
+    rank[order] = np.arange(u_total, dtype=np.int64)
+    counts = np.concatenate(counts_parts)[order]
+    gids = np.concatenate(gids_parts)[order]
+    umi_mat = np.ascontiguousarray(np.concatenate(umi_parts)[order])
+    bucket_of = np.concatenate(bucket_parts)[order]
+    row_of = np.concatenate(row_parts)[order]
+    inverse_global = rank[inverse_global]
+    lengths = np.full(u_total, umi_len, np.int32)
+    words = _pack_validate_matrix(umi_mat, lengths)
+
+    group_sizes = np.bincount(gids)
+    candidates = np.flatnonzero(group_sizes[gids] >= 2)
+    roots = _cluster_unique(words, lengths, counts, method, threshold,
+                            gids=gids, candidates=candidates, block=block,
+                            mesh=mesh)
+    labels_u, rep_nodes = _relabel(roots, counts)
+    molecules = []
+    for i in rep_nodes:
+        uniq_mat_b, ins_lo, ins_hi = per_bucket[bucket_of[i]]
+        row = uniq_mat_b[row_of[i]]
+        molecules.append((row[ins_lo:ins_hi].tobytes(),
+                          umi_mat[i].tobytes()))
+    return labels_u[inverse_global], molecules
+
+
 def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
                 threshold: int = 1, method: str = "directional",
                 _block=None, mesh=None):
@@ -725,17 +813,24 @@ def dedup_reads(reads, len_5p: int = 0, len_3p: int = 0,
     norm = [r.encode("ascii") if isinstance(r, str) else bytes(r)
             for r in reads]
 
-    # Fixed-length fast path (vectorized grouping; see
-    # _dedup_reads_matrix).  Unique (insert, UMI) keys ARE unique reads,
-    # so one native hash-count with inverse replaces the per-read Python
-    # split/setdefault/Counter loops (measured ~4 us/read -> ~0.1 us).
+    # Vectorized grouping (see _dedup_reads_matrix): unique (insert, UMI)
+    # keys ARE unique reads, so native hash-counts with inverse replace
+    # the per-read Python split/setdefault/Counter loops (measured
+    # ~4 us/read -> ~0.1 us).  Ragged lists take the length-bucketed
+    # variant (reads of different lengths never share an insert).  A read
+    # shorter than the UMI lengths keeps the Python path so split_read
+    # raises its reference error on the FIRST offending read.
     lengths_all = np.fromiter(map(len, norm), np.int64, len(norm))
-    lng = int(lengths_all[0])
-    if (not matrix_unavailable and lng >= len_5p + len_3p
-            and (lengths_all == lng).all()):
-        res = _dedup_reads_matrix(
-            np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
-            len_5p, len_3p, method, threshold, _block, mesh=mesh)
+    if not matrix_unavailable and int(lengths_all.min()) >= len_5p + len_3p:
+        lng = int(lengths_all[0])
+        if (lengths_all == lng).all():
+            res = _dedup_reads_matrix(
+                np.frombuffer(b"".join(norm), np.uint8).reshape(
+                    len(norm), lng),
+                len_5p, len_3p, method, threshold, _block, mesh=mesh)
+        else:
+            res = _dedup_reads_ragged(norm, lengths_all, len_5p, len_3p,
+                                      method, threshold, _block, mesh=mesh)
         if res is not None:
             return res
 

@@ -18,7 +18,7 @@ import sys
 import numpy as np
 import pytest
 
-from tests.conftest import REPO_ROOT
+from tests.conftest import REPO_ROOT, scrubbed_cpu_env
 
 
 def _write_fastq(path, reads):
@@ -110,11 +110,15 @@ _RSS_SCRIPT = r"""
 import os, resource, sys
 sys.path.insert(0, {repo!r})
 from shortseq_tpu.api.counter import read_and_count_fastq_table
+from shortseq_tpu.io.native import get_lib
 path = sys.argv[1]
 table = read_and_count_fastq_table(path, engine=sys.argv[2])
 n_unique = len(table)
 total = table.total()
 rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+# Diagnostics so a cap failure says WHICH engine/backend actually ran
+# (native host vs device fallback explains a ~3x RSS difference).
+print(f"DIAG native={{get_lib() is not None}}", file=sys.stderr)
 print(f"RESULT {{n_unique}} {{total}} {{rss_mb:.0f}}")
 """
 
@@ -143,13 +147,18 @@ class TestRSSCap:
                 f.write(chunk)
         size = os.path.getsize(path)
         assert size >= target
-        env = dict(os.environ)
+        # Hermetic subprocess: what this harness measures is HOST memory
+        # of the streaming ingest, so the backend must be the in-process
+        # CPU one.  scrubbed_cpu_env drops the environment's sitecustomize
+        # boot hook, which would otherwise pin the real TPU relay client
+        # into the subprocess and add relay/transfer buffers to the peak
+        # (observed: stable 572 MB hermetic vs 1571 MB once under a long
+        # suite run with the relay hook inherited).
+        env = scrubbed_cpu_env(1)
         env["SHORTSEQ_TPU_STREAM_BYTES"] = str(128 << 20)
-        env["JAX_PLATFORMS"] = "cpu"
         # glibc per-thread arenas never return freed slice buffers to the
         # OS under load; without this the measured peak can creep with
-        # ambient CPU contention (observed: pass solo, fail under the
-        # full parallel suite) even though the logical footprint is
+        # ambient CPU contention even though the logical footprint is
         # O(slice).
         env["MALLOC_ARENA_MAX"] = "2"
         r = subprocess.run(
@@ -170,4 +179,4 @@ class TestRSSCap:
         cap_mb = max(900, size / (1 << 20) * 0.75)
         assert float(rss_mb) < cap_mb, \
             f"peak RSS {rss_mb} MB >= cap {cap_mb:.0f} MB (file " \
-            f"{size / (1 << 20):.0f} MB)"
+            f"{size / (1 << 20):.0f} MB); diag: {r.stderr[-500:]}"
