@@ -88,8 +88,82 @@ def main():
     l_rev, r_rev = dedup_umis(umis, threshold=1, method="directional",
                               mesh=rev)
     assert (l_single == l_rev).all() and r_single == r_rev
+
+    # Forced bucketed-overflow fallback ACROSS PROCESS BOUNDARIES
+    # (VERDICT r03 next-step 8): count_sharded_auto's host-side branch on
+    # the replicated overflow flag must agree on every controller - a
+    # disagreeing process would issue mismatched collectives and
+    # hang/crash the gloo run.  Adversarially skewed keys (all hashing to
+    # one bucket) must flip every process to the exact all_gather
+    # fallback; benign keys must keep the scattered fast path.
+    skew_layout, benign_layout = _skew_overflow_multihost()
+
     with open(out_path, "w") as f:
-        json.dump(result, f, sort_keys=True)
+        json.dump({"table": result, "skew_layout": skew_layout,
+                   "benign_layout": benign_layout}, f, sort_keys=True)
+
+
+def _skew_overflow_multihost():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shortseq_tpu.count import count_batch
+    from shortseq_tpu.count.device import counts_to_host
+    from shortseq_tpu.dist import (count_sharded_auto, data_mesh,
+                                   table_to_host_rows)
+    from shortseq_tpu.dist.count import _bucket_hash
+
+    d = jax.device_count()
+    mesh = data_mesh()
+    n = 504  # divisible by every mesh size the parent test uses
+    lengths_val = 20
+
+    # Deterministic generation -> every process builds the SAME global
+    # input and supplies its own slice via process-local device_put.
+    rng = np.random.default_rng(5)
+    skewed = []
+    while len(skewed) < n:
+        cand = rng.integers(0, 2**32, size=(8192, 2),
+                            dtype=np.uint64).astype(np.uint32)
+        b = np.asarray(_bucket_hash(
+            jnp.asarray(cand), jnp.full(8192, lengths_val, jnp.int32), d))
+        skewed.extend(map(tuple, cand[b == 0]))
+    skewed = np.asarray(sorted(set(skewed))[:n], np.uint32)
+    assert len(skewed) == n
+    words = np.concatenate([skewed, skewed[: n // 2]])[:n]
+    lengths = np.full(n, lengths_val, np.int32)
+    weights = np.ones(n, np.int32)
+    benign = rng.integers(0, 2**32, size=(n, 2),
+                          dtype=np.uint64).astype(np.uint32)
+
+    sh_rows = NamedSharding(mesh, P("data"))
+    sh_flat = NamedSharding(mesh, P("data"))
+
+    def globalize(x):
+        sh = sh_rows if x.ndim == 2 else sh_flat
+        per = n // jax.process_count()
+        lo = jax.process_index() * per
+        return jax.make_array_from_process_local_data(sh, x[lo:lo + per])
+
+    auto = count_sharded_auto(mesh)
+    table = auto(globalize(words), globalize(lengths), globalize(weights))
+    assert table.layout == "prefix", table.layout  # fallback taken
+    # Exactness vs a single-device local count of the full input.
+    local = dict(counts_to_host(*count_batch(jnp.asarray(words),
+                                             jnp.asarray(lengths))))
+    got = dict(table_to_host_rows(table))
+    assert got == local, (len(got), len(local))
+
+    table_b = auto(globalize(benign), globalize(lengths),
+                   globalize(weights))
+    assert table_b.layout == "scattered", table_b.layout
+    local_b = dict(counts_to_host(*count_batch(jnp.asarray(benign),
+                                               jnp.asarray(lengths))))
+    got_b = dict(table_to_host_rows(table_b))
+    assert got_b == local_b
+    return table.layout, table_b.layout
 
 
 if __name__ == "__main__":

@@ -81,7 +81,8 @@ def _run_multihost(tmp_path, n_procs: int, devices_per_proc: int):
     for p, err in zip(procs, errs):
         assert p.returncode == 0, err[-4000:]
 
-    tables = [json.loads(o.read_text()) for o in outs]
+    results = [json.loads(o.read_text()) for o in outs]
+    tables = [r["table"] for r in results]
     # Every host materializes the identical table (the scattered layout's
     # multi-controller fetch exchanges disjoint live rows host-to-host).
     for t in tables[1:]:
@@ -89,6 +90,12 @@ def _run_multihost(tmp_path, n_procs: int, devices_per_proc: int):
     # Bit-exact dedup parity vs the reference oracle (full dict, not just
     # the count multiset).
     assert tables[0] == dict(expect)
+    # count_sharded_auto's overflow branch agreed on EVERY controller:
+    # skewed keys flipped all processes to the exact fallback, benign
+    # keys kept all of them on the scattered fast path (the workers also
+    # assert exact counts for both).
+    assert [r["skew_layout"] for r in results] == ["prefix"] * n_procs
+    assert [r["benign_layout"] for r in results] == ["scattered"] * n_procs
 
 
 def test_two_process_distributed_count(tmp_path):
@@ -99,5 +106,7 @@ def test_three_process_nonpow2_mesh(tmp_path):
     """3 processes x 1 device: a non-power-of-two GLOBAL mesh driving the
     production bucketed merge end-to-end across real process boundaries
     (gloo collectives) - combines the non-pow2 _bucket_hash fix with the
-    multi-controller scattered-table fetch."""
+    multi-controller scattered-table fetch, plus the forced
+    bucketed-overflow fallback with host-side branch agreement on all
+    three controllers (VERDICT r03 next-step 8)."""
     _run_multihost(tmp_path, n_procs=3, devices_per_proc=1)
