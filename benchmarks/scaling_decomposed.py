@@ -27,7 +27,7 @@ contended:
    host pod would see for each strategy and why.
 
 Usage:
-  python benchmarks/scaling_decomposed.py --out SCALING_r03.json
+  python benchmarks/scaling_decomposed.py --out SCALING_r04.json
   (subcommands --hlo D / --cpu-walltime D run in scrubbed CPU-mesh
   subprocesses; --kernel runs on the booted backend, i.e. the TPU)
 """

@@ -588,15 +588,20 @@ def dedup_umis(umis, threshold: int = 1, method: str = "directional",
     norm = [u.encode("ascii") if isinstance(u, str) else bytes(u)
             for u in umis]
 
-    # Fixed-length fast path: the whole grouping stage is one native
-    # hash-count with inverse (vectorized), no per-item Python dict work.
+    # Vectorized grouping: the whole stage is native hash-counts with
+    # inverse, no per-item Python dict work.  Uniform lengths take the
+    # single-matrix path; ragged lists the length-bucketed variant.
     lengths_all = np.fromiter(map(len, norm), np.int64, len(norm))
-    lng = int(lengths_all[0])
-    if (not matrix_unavailable and lng <= MAX_64_NT
-            and (lengths_all == lng).all()):
-        res = _dedup_umi_matrix(
-            np.frombuffer(b"".join(norm), np.uint8).reshape(len(norm), lng),
-            method, threshold, _block, mesh)
+    if not matrix_unavailable and int(lengths_all.max()) <= MAX_64_NT:
+        lng = int(lengths_all[0])
+        if (lengths_all == lng).all():
+            res = _dedup_umi_matrix(
+                np.frombuffer(b"".join(norm), np.uint8).reshape(
+                    len(norm), lng),
+                method, threshold, _block, mesh)
+        else:
+            res = _dedup_umis_ragged(norm, lengths_all, method, threshold,
+                                     _block, mesh=mesh)
         if res is not None:
             return res
 
@@ -626,6 +631,57 @@ def _dedup_umi_matrix(mat, method, threshold, block, mesh=None):
                             block=block, mesh=mesh)
     labels_u, rep_nodes = _relabel(roots, counts)
     return labels_u[inverse], [uniq_mat[i].tobytes() for i in rep_nodes]
+
+
+def _dedup_umis_ragged(norm, lengths_all, method, threshold, block,
+                       mesh=None):
+    """Length-bucketed vectorized dedup_umis for ragged UMI lists (the
+    design of _dedup_reads_ragged applied to bare UMIs): UMIs of
+    different lengths are distinct keys and never adjacent
+    (_neighbor_lists masks unequal lengths), so grouping decomposes
+    exactly by length; bucket uniques are re-ranked into global
+    first-occurrence order for dict-path-identical labels and
+    representatives.  Returns None when the native library is
+    unavailable."""
+    n = len(norm)
+    width = 32
+    mats, counts_parts, first_parts, len_parts = [], [], [], []
+    inverse_global = np.empty(n, np.int64)
+    u_total = 0
+    for lng in np.unique(lengths_all):
+        idx = np.flatnonzero(lengths_all == lng)
+        lng = int(lng)
+        mat = np.frombuffer(b"".join(norm[i] for i in idx),
+                            np.uint8).reshape(len(idx), lng)
+        res = _unique_rows(mat)
+        if res is None:
+            return None
+        uniq_mat, counts, inverse = res
+        m = len(counts)
+        first = np.empty(m, np.int64)
+        first[inverse[::-1]] = idx[::-1]
+        pad = np.zeros((m, width), np.uint8)
+        pad[:, :lng] = uniq_mat
+        mats.append(pad)
+        counts_parts.append(counts)
+        first_parts.append(first)
+        len_parts.append(np.full(m, lng, np.int32))
+        inverse_global[idx] = inverse + u_total
+        u_total += m
+    first = np.concatenate(first_parts)
+    order = np.argsort(first, kind="stable")
+    rank = np.empty(u_total, np.int64)
+    rank[order] = np.arange(u_total, dtype=np.int64)
+    mat = np.ascontiguousarray(np.concatenate(mats)[order])
+    counts = np.concatenate(counts_parts)[order]
+    lengths = np.concatenate(len_parts)[order]
+    inverse_global = rank[inverse_global]
+    words = _pack_validate_matrix(mat, lengths)
+    roots = _cluster_unique(words, lengths, counts, method, threshold,
+                            block=block, mesh=mesh)
+    labels_u, rep_nodes = _relabel(roots, counts)
+    reps = [mat[i, :lengths[i]].tobytes() for i in rep_nodes]
+    return labels_u[inverse_global], reps
 
 
 def _dedup_reads_matrix(mat, len_5p, len_3p, method, threshold, block,

@@ -363,14 +363,54 @@ class TestDedupReadsRegressions:
         assert (fast[0] == slow[0]).all()
         assert fast[1] == slow[1]
 
-    def test_variable_length_umis_use_python_path(self):
-        # Mixed lengths skip the matrix path and must still work.
+    def test_variable_length_umis(self):
+        # Mixed lengths take the length-bucketed path; unequal lengths
+        # never cluster together.
         from shortseq_tpu.umi import dedup_umis
 
         umis = [b"AAAA", b"AAA", b"AAAA", b"AAAT", b"AAA"]
         labels, reps = dedup_umis(umis, threshold=1, method="cluster")
         assert labels[0] == labels[2] == labels[3] != labels[1]
         assert labels[1] == labels[4]
+
+    def test_ragged_umis_match_python_path(self, monkeypatch):
+        # The length-bucketed dedup_umis path must be bit-identical to
+        # the Python dict path (labels, representatives, ordering).
+        import numpy as np
+
+        import shortseq_tpu.umi.dedup as dd
+
+        if dd._unique_rows(np.zeros((2, 4), np.uint8)) is None:
+            pytest.skip("native library unavailable; no fast path to diff")
+        rng = np.random.default_rng(23)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        umis = []
+        for lng in (6, 8, 11):
+            pool = alpha[rng.integers(0, 4, size=(60, lng))]
+            for _ in range(800):
+                u = pool[rng.integers(0, 60)]
+                if rng.random() < 0.3:
+                    u = u.copy()
+                    u[rng.integers(0, lng)] = alpha[rng.integers(0, 4)]
+                umis.append(u.tobytes())
+        perm = rng.permutation(len(umis))
+        umis = [umis[i] for i in perm]
+
+        calls = []
+        real_ragged = dd._dedup_umis_ragged
+        real_unique = dd._unique_rows
+        monkeypatch.setattr(
+            dd, "_dedup_umis_ragged",
+            lambda *a, **k: calls.append(1) or real_ragged(*a, **k))
+        for method in ("directional", "cluster", "adjacency", "unique"):
+            calls.clear()
+            monkeypatch.setattr(dd, "_unique_rows", real_unique)
+            fast = dd.dedup_umis(umis, threshold=1, method=method)
+            assert calls, "ragged fast path was not taken"
+            monkeypatch.setattr(dd, "_unique_rows", lambda mat: None)
+            slow = dd.dedup_umis(umis, threshold=1, method=method)
+            assert (fast[0] == slow[0]).all(), method
+            assert fast[1] == slow[1], method
 
     def test_overflow_beyond_overflow_k_falls_back_dense(self, monkeypatch):
         # Rows exceeding even the overflow re-extraction cap must land on
