@@ -633,6 +633,21 @@ def _dedup_umi_matrix(mat, method, threshold, block, mesh=None):
     return labels_u[inverse], [uniq_mat[i].tobytes() for i in rep_nodes]
 
 
+def _length_buckets(lengths_all):
+    """Yield (length, ascending original indices) per distinct length in
+    ascending length order - ONE stable argsort + searchsorted split, not
+    an O(N) scan per distinct length (reads up to 1024 nt can have ~1000
+    buckets).  Stability keeps each bucket's indices ascending, which the
+    first-occurrence re-ranking in the ragged paths relies on."""
+    order = np.argsort(lengths_all, kind="stable")
+    sorted_lens = lengths_all[order]
+    uniq_lens = np.unique(sorted_lens)
+    bounds = np.searchsorted(sorted_lens, uniq_lens)
+    bounds = np.append(bounds, len(order))
+    for i, lng in enumerate(uniq_lens):
+        yield int(lng), order[bounds[i]:bounds[i + 1]]
+
+
 def _dedup_umis_ragged(norm, lengths_all, method, threshold, block,
                        mesh=None):
     """Length-bucketed vectorized dedup_umis for ragged UMI lists (the
@@ -648,9 +663,7 @@ def _dedup_umis_ragged(norm, lengths_all, method, threshold, block,
     mats, counts_parts, first_parts, len_parts = [], [], [], []
     inverse_global = np.empty(n, np.int64)
     u_total = 0
-    for lng in np.unique(lengths_all):
-        idx = np.flatnonzero(lengths_all == lng)
-        lng = int(lng)
+    for lng, idx in _length_buckets(lengths_all):
         mat = np.frombuffer(b"".join(norm[i] for i in idx),
                             np.uint8).reshape(len(idx), lng)
         res = _unique_rows(mat)
@@ -745,9 +758,7 @@ def _dedup_reads_ragged(norm, lengths_all, len_5p, len_3p, method,
     inverse_global = np.empty(n, np.int64)
     gid_offset = 0
     u_total = 0
-    for bi, lng in enumerate(np.unique(lengths_all)):
-        idx = np.flatnonzero(lengths_all == lng)
-        lng = int(lng)
+    for bi, (lng, idx) in enumerate(_length_buckets(lengths_all)):
         mat = np.frombuffer(b"".join(norm[i] for i in idx),
                             np.uint8).reshape(len(idx), lng)
         res = _unique_rows(mat)
