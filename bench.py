@@ -346,7 +346,7 @@ def bench_materialize(n=1 << 20, lanes=2):
 def bench_end_to_end(n=1_000_000, engine="host"):
     """read_and_count_fastq reads/s on a generated 1M-read file (the
     reference's profiling scenario shape, unit_tests_profiling.py:24-37,
-    scaled 10x down to keep the bench round short; PROFILE10M_r02.json has
+    scaled 10x down to keep the bench round short; PROFILE10M_r04.json has
     the full-size runs for both engines)."""
     import os
     import tempfile
@@ -456,8 +456,8 @@ def _require_backend(timeout_s=900):
                 "note": "TPU backend unreachable at bench time (relay "
                         "wedge, docs/ENVIRONMENT.md); committed chip "
                         "measurements from prior runs: README Benchmarks, "
-                        "docs/PERF.md, PROFILE10M_r02.json, "
-                        "UMISCALE_r02.json, UMIREADS_r02.json",
+                        "docs/PERF.md, PROFILE10M_r04.json, "
+                        "UMISCALE_r03.json, UMIREADS_r04.json",
             },
         }), flush=True)
         import os
