@@ -87,6 +87,12 @@ def umi_dedup_at_scale(u, length=12, dup=3):
 
     uniq = _rand_umis(u, length)
     umis = uniq * dup
+    # Warm the compile caches on a slice first: a cold first compile
+    # through this environment's relay has been observed to wedge for
+    # ~minutes (docs/ENVIRONMENT.md item 6), which would otherwise be
+    # charged to the steady-state number this artifact exists to record.
+    dedup_umis(umis[: max(1000, len(umis) // 16)], threshold=1,
+               method="directional")
     t0 = time.perf_counter()
     labels, reps = dedup_umis(umis, threshold=1, method="directional")
     wall = time.perf_counter() - t0

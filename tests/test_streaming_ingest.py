@@ -107,18 +107,51 @@ class TestStreamedParity:
 
 
 _RSS_SCRIPT = r"""
-import os, resource, sys
+import os, sys
 sys.path.insert(0, {repo!r})
-from shortseq_tpu.api.counter import read_and_count_fastq_table
+import shortseq_tpu.api.counter as C
 from shortseq_tpu.io.native import get_lib
+
+def _hwm_mb():
+    # VmHWM, NOT resource.getrusage: Linux carries ru_maxrss ACROSS
+    # fork+exec, so under a fat parent (a long pytest session) getrusage
+    # reports the PARENT'S peak at fork as this process's floor - that
+    # false reading is exactly what this harness once tripped over.
+    # VmHWM belongs to the mm, which exec replaces, so it is truly ours.
+    for ln in open("/proc/self/status"):
+        if ln.startswith("VmHWM"):
+            return int(ln.split()[1]) / 1024
+    raise RuntimeError("no VmHWM")
+
+calls = {{}}
+_orig_streamed = C._read_and_count_table_streamed
+def _spy(filename, engine, size, stream_bytes):
+    calls["streamed"] = (size, stream_bytes)
+    return _orig_streamed(filename, engine, size, stream_bytes)
+C._read_and_count_table_streamed = _spy
+
+# Per-slice high-water trace: on a cap failure this shows whether slice
+# buffers accumulate (a retention bug) or one allocation spikes.
+import shortseq_tpu.io.fastq as F
+_orig_index = F.read_fastq_index
+def _traced(filename, byte_range=None):
+    r = _orig_index(filename, byte_range=byte_range)
+    print(f"SLICE {{byte_range}} hwm={{_hwm_mb():.0f}}", file=sys.stderr)
+    return r
+F.read_fastq_index = _traced
+
 path = sys.argv[1]
-table = read_and_count_fastq_table(path, engine=sys.argv[2])
+table = C.read_and_count_fastq_table(path, engine=sys.argv[2])
 n_unique = len(table)
 total = table.total()
-rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-# Diagnostics so a cap failure says WHICH engine/backend actually ran
-# (native host vs device fallback explains a ~3x RSS difference).
-print(f"DIAG native={{get_lib() is not None}}", file=sys.stderr)
+rss_mb = _hwm_mb()
+# Diagnostics so a cap failure says WHICH path actually ran (whole-file
+# vs streamed, native host vs device fallback - each explains a ~3x RSS
+# difference on its own).
+print(f"DIAG native={{get_lib() is not None}} streamed={{calls}} "
+      f"stream_bytes={{C._stream_bytes()}} "
+      f"env={{os.environ.get('SHORTSEQ_TPU_STREAM_BYTES')}} "
+      f"size={{os.path.getsize(path)}}", file=sys.stderr)
 print(f"RESULT {{n_unique}} {{total}} {{rss_mb:.0f}}")
 """
 
@@ -127,8 +160,13 @@ class TestRSSCap:
     """The reference profiling harness's RSS discipline
     (unit_tests_profiling.py:110-131), applied to the streaming contract:
     counting a ~1.2 GB FASTQ with 128 MB slices must stay far below the
-    file size in peak RSS.  Runs in a subprocess so pytest's own peak
-    doesn't pollute ru_maxrss.  Scale with SHORTSEQ_TPU_RSS_TEST_BYTES."""
+    file size in peak RSS.  Runs in a subprocess and measures VmHWM from
+    /proc/self/status - NOT getrusage: Linux carries ru_maxrss across
+    fork+exec, so a child spawned from a long pytest session (parent RSS
+    1-1.5 GB after hundreds of JAX compiles) inherits the parent's peak
+    as its floor and fails the cap with the parent's number (observed:
+    identical 1571 MB "peaks" across runs that were really the pytest
+    process's own RSS at fork).  Scale with SHORTSEQ_TPU_RSS_TEST_BYTES."""
 
     def test_rss_bounded_by_slice_not_file(self, tmp_path):
         target = int(os.environ.get("SHORTSEQ_TPU_RSS_TEST_BYTES",
@@ -149,17 +187,12 @@ class TestRSSCap:
         assert size >= target
         # Hermetic subprocess: what this harness measures is HOST memory
         # of the streaming ingest, so the backend must be the in-process
-        # CPU one.  scrubbed_cpu_env drops the environment's sitecustomize
-        # boot hook, which would otherwise pin the real TPU relay client
-        # into the subprocess and add relay/transfer buffers to the peak
-        # (observed: stable 572 MB hermetic vs 1571 MB once under a long
-        # suite run with the relay hook inherited).
+        # CPU one (scrubbed_cpu_env drops the environment's sitecustomize
+        # boot hook that would pin the real TPU relay client).
         env = scrubbed_cpu_env(1)
         env["SHORTSEQ_TPU_STREAM_BYTES"] = str(128 << 20)
-        # glibc per-thread arenas never return freed slice buffers to the
-        # OS under load; without this the measured peak can creep with
-        # ambient CPU contention even though the logical footprint is
-        # O(slice).
+        # Cap glibc's per-thread arenas so allocator noise from the
+        # threaded native indexer stays bounded.
         env["MALLOC_ARENA_MAX"] = "2"
         r = subprocess.run(
             [sys.executable, "-c", _RSS_SCRIPT.format(repo=REPO_ROOT),
@@ -179,4 +212,4 @@ class TestRSSCap:
         cap_mb = max(900, size / (1 << 20) * 0.75)
         assert float(rss_mb) < cap_mb, \
             f"peak RSS {rss_mb} MB >= cap {cap_mb:.0f} MB (file " \
-            f"{size / (1 << 20):.0f} MB); diag: {r.stderr[-500:]}"
+            f"{size / (1 << 20):.0f} MB); diag: {r.stderr[-2000:]}"
