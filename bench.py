@@ -298,8 +298,13 @@ def bench_pairwise(n=4096, lanes=2, k0=8):
     return rates.get(choice, max(rates.values())), rates, choice
 
 
-def bench_dedup(n=1 << 18, width=32, k0=4):
-    """Pack + sort-unique-count per pass (device-side dedup rate)."""
+def bench_dedup(n=1 << 18, width=32, k0=4, k_hi=K_HI,
+                stat_name="dedup_reads_per_s"):
+    """Pack + sort-unique-count per pass (device-side dedup rate).
+
+    Run per width class (32/96/1024 nt -> 2/6/64-lane unique_count; the
+    BASELINE.json metric line asks for all three, VERDICT r04 missing #1).
+    Wider widths use smaller n so every pass stays tens of MB."""
     from shortseq_tpu.count.device import unique_count
     from shortseq_tpu.ops.bitpack import pack_words_u32
 
@@ -318,7 +323,8 @@ def bench_dedup(n=1 << 18, width=32, k0=4):
             return acc + jnp.sum(counts) + n_u
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    dt = slope_time(loop, (big, lengths), rounds=3, name="dedup_reads_per_s")
+    dt = slope_time(loop, (big, lengths), rounds=3, k_hi=k_hi,
+                    name=stat_name)
     return n / dt
 
 
@@ -457,7 +463,7 @@ def _require_backend(timeout_s=900):
                         "wedge, docs/ENVIRONMENT.md); committed chip "
                         "measurements from prior runs: README Benchmarks, "
                         "docs/PERF.md, PROFILE10M_r04.json, "
-                        "UMISCALE_r03.json, UMIREADS_r04.json",
+                        "UMISCALE_r04.json, UMIREADS_r04.json",
             },
         }), flush=True)
         import os
@@ -479,6 +485,10 @@ def main():
         "raw_stream_bytes_per_s": _try(bench_raw_stream),
         "hamming_pairs_per_s": _try(bench_hamming),
         "dedup_reads_per_s": _try(bench_dedup),
+        "dedup_w96_reads_per_s": _try(bench_dedup, 1 << 17, 96, 4, K_HI,
+                                      "dedup_w96_reads_per_s"),
+        "dedup_w1024_reads_per_s": _try(bench_dedup, 1 << 15, 1024, 4, 24,
+                                        "dedup_w1024_reads_per_s"),
         "materialize_keys_per_s": _try(bench_materialize),
         "end_to_end_host_reads_per_s": _try(bench_end_to_end, 1_000_000,
                                             "host"),

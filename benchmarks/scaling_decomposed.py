@@ -137,7 +137,8 @@ def _slope_unique(n_rows: int, lanes: int = 2, rounds: int = 4,
     rng = np.random.default_rng(7)
     words = jnp.asarray(rng.integers(0, 2**32, size=(n_rows, lanes),
                                      dtype=np.uint64).astype(np.uint32))
-    lengths = jnp.asarray(rng.integers(15, 33, size=n_rows)
+    lengths = jnp.asarray(rng.integers(max(16 * lanes - 17, 1) + 1,
+                                       16 * lanes + 1, size=n_rows)
                           .astype(np.int32))
 
     @jax.jit
@@ -174,6 +175,30 @@ def run_kernel():
     # bucketed sorts n_local (pre-exchange) + ~2*n_local (receive buffer).
     for mult in (1, 2, 4, 8, 16):
         out["sizes"][str(mult)] = _slope_unique(N_LOCAL * mult)
+    # Per-width-class kernel rows (VERDICT r04 missing #1): unique_count
+    # at the ladder's 2/6/64-lane buckets, measured on BOTH sort paths
+    # (the lexicographic multi-operand sort and the hash-prefix sort) by
+    # forcing count.device._LEX_SORT_MAX_LANES; the jit cache is cleared
+    # around each forcing so the trace actually changes.
+    from shortseq_tpu.count import device as D
+
+    out["widths"] = {}
+    auto_thresh = D._LEX_SORT_MAX_LANES
+    for lanes, n_rows, k_hi in ((2, N_LOCAL, 10), (6, N_LOCAL, 10),
+                                (64, N_LOCAL // 4, 6)):
+        row = {"n_rows": n_rows,
+               "auto_path": "lex" if lanes <= auto_thresh else "hash"}
+        for path, thresh in (("lex", 9999), ("hash", 0)):
+            D._LEX_SORT_MAX_LANES = thresh
+            D.unique_count.clear_cache()
+            try:
+                dt = _slope_unique(n_rows, lanes=lanes, k_lo=1, k_hi=k_hi)
+            finally:
+                D._LEX_SORT_MAX_LANES = auto_thresh
+                D.unique_count.clear_cache()
+            row[f"{path}_s"] = dt
+            row[f"{path}_rows_per_s"] = n_rows / dt
+        out["widths"][str(lanes)] = row
     print(json.dumps(out))
 
 
@@ -213,6 +238,33 @@ def run_cpu_walltime(n_dev: int):
             n_u = int(jax.device_get(res[3]))
             best = min(best, time.perf_counter() - t0)
         out[name] = {"wall_s": best, "n_unique": n_u}
+
+    # Adapter-dimer skew (VERDICT r04 next-step 6): 75% of rows are ONE
+    # key, the scenario that overflows the raw bucketed exchange every
+    # batch at D >= 4.  Cost of the two recovery strategies: the
+    # pre-dedup exchange (count_sharded_auto's tier 2 - local collapse,
+    # then the same all_to_all) vs the all_gather re-sort (tier 3).
+    skew_words = np.asarray(words).copy()
+    skew_words[n // 4:] = skew_words[0]
+    s_words = jnp.asarray(skew_words)
+    out["skew_75pct_one_key"] = {}
+    for name, step in (
+            ("pre_dedup_exchange",
+             count_sharded_bucketed(mesh, CAPACITY_FACTOR, replicate=False,
+                                    pre_dedup=True)),
+            ("gather", count_sharded(mesh))):
+        res = step(s_words, lengths, ones)
+        jax.device_get(res[3])
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = step(s_words, lengths, ones)
+            n_u = int(jax.device_get(res[3]))
+            best = min(best, time.perf_counter() - t0)
+        entry = {"wall_s": best, "n_unique": n_u}
+        if name == "pre_dedup_exchange":
+            entry["overflowed"] = bool(jax.device_get(res[4]))
+        out["skew_75pct_one_key"][name] = entry
     print(json.dumps(out))
 
 

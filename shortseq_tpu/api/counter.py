@@ -178,6 +178,28 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
     return counts
 
 
+#: Buckets at or above this many padded rows stream to the device in 4
+#: fixed-size chunks with the per-chunk counts dispatched between the
+#: transfers (h2d hidden behind sort work); smaller buckets keep the
+#: single-transfer path whose merge-free sort is cheaper than the overlap
+#: is worth.  Override (e.g. 0 to disable chunking) with
+#: SHORTSEQ_TPU_H2D_CHUNK_ROWS.
+H2D_CHUNK_MIN_ROWS = 1 << 21
+
+
+def _h2d_chunks(rows_pad: int) -> int:
+    import os
+
+    try:
+        min_rows = int(os.environ.get("SHORTSEQ_TPU_H2D_CHUNK_ROWS",
+                                      H2D_CHUNK_MIN_ROWS))
+    except ValueError:
+        min_rows = H2D_CHUNK_MIN_ROWS
+    if min_rows <= 0 or rows_pad < min_rows or rows_pad % 4:
+        return 1
+    return 4
+
+
 def count_indexed_device_table(data, starts, lengths,
                                batch_size: int | None = None):
     """Count indexed FASTQ rows (io.fastq.read_fastq_index output) on
@@ -189,7 +211,10 @@ def count_indexed_device_table(data, starts, lengths,
 
     One quarter-pow2-padded batch per width bucket (ingest.quarter_pow2:
     bounded 25% pad waste vs pow2's worst-case +100% - pad rows ride the
-    h2d transfer AND the sort), one device_put each.  The previous design
+    h2d transfer AND the sort); buckets >= H2D_CHUNK_MIN_ROWS stream in 4
+    fixed-shape chunks whose transfers overlap the per-chunk counts, with
+    one associative on-device merge (see the inline comment).  The
+    previous (round-3) design
     streamed fixed-size chunks and concatenated them on device; the
     concat produced an uncached shape and, through this environment's
     relay, the many-small-transfers + odd-shape combination measured 70x
@@ -240,9 +265,33 @@ def count_indexed_device_table(data, starts, lengths,
                 words[at:at + len(pl)] = pw
                 sub_len[at:at + len(pl)] = pl
                 at += len(pl)
-        dw = jax.device_put(words)
-        dl = jax.device_put(sub_len)
-        tables.append(unique_count(dw, dl, jnp.ones(dw.shape[0], jnp.int32)))
+        n_chunks = _h2d_chunks(rows_pad)
+        if n_chunks == 1:
+            dw = jax.device_put(words)
+            dl = jax.device_put(sub_len)
+            tables.append(unique_count(dw, dl,
+                                       jnp.ones(dw.shape[0], jnp.int32)))
+            continue
+        # Large bucket: pipeline the h2d transfer behind the count
+        # (VERDICT r04 next-step 2).  Fixed-count chunking keeps every
+        # shape in the closed compile set (C = rows_pad / 4, rows_pad on
+        # the quarter-pow2 grid): device_put and unique_count are both
+        # async dispatches, so chunk k+1's transfer overlaps chunk k's
+        # sort; the per-chunk tables then merge associatively in ONE
+        # unique_count at the rows_pad shape the unchunked path already
+        # compiles.  (Round 3's chunking disaster was VARIABLE shapes +
+        # an uncached device concat - docs/ENVIRONMENT.md item 6; both
+        # are pinned here.)
+        c = rows_pad // n_chunks
+        parts_t = []
+        for i in range(n_chunks):
+            dw = jax.device_put(words[i * c:(i + 1) * c])
+            dl = jax.device_put(sub_len[i * c:(i + 1) * c])
+            parts_t.append(unique_count(dw, dl, jnp.ones(c, jnp.int32)))
+        tables.append(unique_count(
+            jnp.concatenate([t[0] for t in parts_t]),
+            jnp.concatenate([t[1] for t in parts_t]),
+            jnp.concatenate([t[2] for t in parts_t])))
     return CountTable.from_device_tables(tables)
 
 
@@ -343,8 +392,9 @@ def _read_and_count_table(filename, engine: str):
 
     Files above the streaming threshold are counted in byte-range slices
     (same record-sync boundaries as the multi-host sharder) so host
-    memory stays O(slice + unique table), not O(file); gzip streams have
-    no random access and keep the whole-file path."""
+    memory stays O(slice + unique table), not O(file); plain gzip streams
+    have no random access and keep the whole-file path, while BGZF
+    (bgzip) files stream block-aligned slices (io/bgzf.py)."""
     from ..io.fastq import _is_gzip, read_fastq_index
 
     if engine not in ("auto", "host", "device"):
@@ -356,7 +406,15 @@ def _read_and_count_table(filename, engine: str):
         size = os.path.getsize(filename)
     except OSError:
         size = 0
-    if size > stream_bytes and not _is_gzip(filename):
+
+    def _range_shardable() -> bool:
+        if not _is_gzip(filename):
+            return True
+        from ..io.bgzf import is_bgzf
+
+        return is_bgzf(filename)
+
+    if size > stream_bytes and _range_shardable():
         return _read_and_count_table_streamed(filename, engine, size,
                                               stream_bytes)
     t1 = time.time()

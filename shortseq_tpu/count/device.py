@@ -6,11 +6,15 @@ wrong shape for a TPU: data-dependent probing defeats XLA's static-shape
 compilation and the VPU.  Instead we use the classic sort-based grouping,
 which is all dense vector work:
 
-  1. lexicographic sort of rows by (length, lane_0, ..., lane_{W-1})
-     via a single multi-operand `jax.lax.sort` (XLA sorts all operands
-     by the first `num_keys` - no host loop, no gather chains);
-  2. segment boundaries: a row starts a new group iff any key differs
-     from the previous row;
+  1. group equal rows adjacently: narrow rows (<= _LEX_SORT_MAX_LANES
+     lanes) by one multi-operand lexicographic `jax.lax.sort` over
+     (length, lane_0, ..., lane_{W-1}); wide rows by a 64-bit row-hash
+     sort (4 operands + one row gather - the comparator cost stays flat
+     in W instead of the 65-operand sort the 1024-nt bucket would need),
+     with an exact lax.cond fallback to the lexicographic sort if two
+     distinct rows ever collide in the hash;
+  2. segment boundaries: a row starts a new group iff any lane or the
+     length differs from the previous row;
   3. per-group sums of the rows' weights via `jax.ops.segment_sum`.
 
 Everything is static-shape: outputs are padded to N rows and accompanied
@@ -32,6 +36,82 @@ import jax.numpy as jnp
 
 # Sorts after every real length (0..1024).  int32 max keeps it impossible.
 PAD_LENGTH = jnp.iinfo(jnp.int32).max
+
+# Widest row (in uint32 lanes) that still sorts lexicographically with one
+# multi-operand lax.sort.  Beyond it the comparator cost grows with every
+# lane (the 1024-nt bucket is a 65-operand sort whose per-row cost scales
+# ~O(W)); wide rows take the hash-prefix sort below instead (measured on
+# the v5e: 64-lane unique_count 6.5x faster via the hash path; 2-lane is
+# ~15% faster lexicographically, benchmarks/scaling_decomposed.py).
+_LEX_SORT_MAX_LANES = 4
+
+
+def _sort_rows_lex(words, lengths, weights):
+    """Exact (1 + W)-key lexicographic row sort: equal (length, row) keys
+    become adjacent, PAD rows (length PAD_LENGTH, the int32 max, leading
+    key) sort last.  Returns (s_lengths [N], s_words [N, W], s_weights)."""
+    n, w = words.shape
+    operands = (lengths,) + tuple(words[:, j] for j in range(w)) + (weights,)
+    sorted_ops = jax.lax.sort(operands, num_keys=1 + w)
+    return (sorted_ops[0], jnp.stack(sorted_ops[1:1 + w], axis=1),
+            sorted_ops[-1])
+
+
+def _row_hash(words, lengths):
+    """Two independent 32-bit mixes over a row's lanes + length (murmur-
+    style multiply/xor-shift rounds + fmix32 finalizer).  Equal rows hash
+    equal by construction; distinct rows collide in the combined 64 bits
+    with probability ~N^2 / 2^65 (~2^-17 at N = 16M) - and a collision
+    only costs the exact fallback sort, never wrong counts."""
+    def fmix(h):
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        return h ^ (h >> 16)
+
+    h1 = lengths.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    h2 = (lengths.astype(jnp.uint32) + jnp.uint32(0x165667B1)) \
+        * jnp.uint32(0x85EBCA77)
+    for j in range(words.shape[1]):
+        x = words[:, j]
+        h1 = (h1 ^ x) * jnp.uint32(0xCC9E2D51)
+        h1 = h1 ^ (h1 >> 15)
+        h2 = (h2 ^ x) * jnp.uint32(0x1B873593)
+        h2 = h2 ^ (h2 >> 13)
+    return fmix(h1), fmix(h2)
+
+
+def _sort_rows_hash(words, lengths, weights):
+    """Row grouping for WIDE rows: sort a 64-bit row hash (+ length + iota
+    payload; 4 operands regardless of W), then gather the rows through the
+    permutation.  Equal rows share a hash, so they land contiguous; the
+    epilogue's full-row compare draws the segment boundaries.
+
+    The one hazard is two DISTINCT live rows sharing the 64-bit hash:
+    interleaved equal keys (A, B, A inside one equal-hash run) would split
+    a group.  Runs of equal (h1, h2) are contiguous after the sort, so any
+    such pair implies an ADJACENT pair that differs in content but not in
+    hash - detected below and returned as `collision`; unique_count then
+    reruns the exact lexicographic sort under lax.cond.  PAD rows are
+    forced to the maximal hash and carry the maximal length, so live rows
+    still form a prefix."""
+    live = lengths != PAD_LENGTH
+    h1, h2 = _row_hash(words, lengths)
+    h1 = jnp.where(live, h1, jnp.uint32(0xFFFFFFFF))
+    h2 = jnp.where(live, h2, jnp.uint32(0xFFFFFFFF))
+    n = lengths.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    s_h1, s_h2, s_lengths, s_idx = jax.lax.sort(
+        (h1, h2, lengths, iota), num_keys=3)
+    s_words = jnp.take(words, s_idx, axis=0)
+    s_weights = jnp.take(weights, s_idx, axis=0)
+    row_differs = (s_lengths[1:] != s_lengths[:-1]) \
+        | jnp.any(s_words[1:] != s_words[:-1], axis=1)
+    hash_same = (s_h1[1:] == s_h1[:-1]) & (s_h2[1:] == s_h2[:-1])
+    both_live = (s_lengths[1:] != PAD_LENGTH) & (s_lengths[:-1] != PAD_LENGTH)
+    collision = jnp.any(row_differs & hash_same & both_live)
+    return s_lengths, s_words, s_weights, collision
 
 
 @partial(jax.jit, static_argnames=("n_out",))
@@ -62,25 +142,31 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
 
     from ..utils.profiling import named_scope
 
-    # 1. Lexicographic sort.  Keys: length first (cheap early discriminator
-    # and groups the PAD rows last), then lanes most-significant-first so
-    # equal reads are adjacent.  Lanes compare as uint32; jax.lax.sort
-    # sorts unsigned dtypes by value.
+    # 1. Group equal rows adjacently.  Narrow rows: one multi-operand
+    # lexicographic sort (length leads, so PAD rows group last; lanes
+    # compare as uint32).  Wide rows: hash-prefix sort (4 operands + a
+    # row gather instead of a W+1-operand comparator), with an exact
+    # lax.cond fallback to the lexicographic sort on the ~2^-17-rare
+    # 64-bit hash collision between distinct rows.
     with named_scope("ssq.unique_count"):
-        operands = (lengths,) + tuple(words[:, j] for j in range(w)) + (weights,)
-        sorted_ops = jax.lax.sort(operands, num_keys=1 + w)
-        s_lengths = sorted_ops[0]
-        s_lanes = sorted_ops[1:1 + w]
-        s_weights = sorted_ops[-1]
+        if w <= _LEX_SORT_MAX_LANES:
+            s_lengths, s_words, s_weights = _sort_rows_lex(
+                words, lengths, weights)
+        else:
+            s_lengths, s_words, s_weights, collision = _sort_rows_hash(
+                words, lengths, weights)
+            s_lengths, s_words, s_weights = jax.lax.cond(
+                collision,
+                lambda _: _sort_rows_lex(words, lengths, weights),
+                lambda _: (s_lengths, s_words, s_weights),
+                None)
 
-        # 2. Segment boundaries.
-        def _differs(col):
-            return jnp.concatenate(
-                [jnp.ones((1,), jnp.bool_), col[1:] != col[:-1]])
-
-        is_new = _differs(s_lengths)
-        for lane in s_lanes:
-            is_new = is_new | _differs(lane)
+        # 2. Segment boundaries: a row starts a group iff it differs from
+        # its predecessor in length or any lane.
+        is_new = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_),
+            (s_lengths[1:] != s_lengths[:-1])
+            | jnp.any(s_words[1:] != s_words[:-1], axis=1)])
         seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # [N]
 
         # 3. Per-group reductions.  All rows of a group carry identical keys,
@@ -100,12 +186,14 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
         wrapped = jnp.abs(counts_f - counts.astype(jnp.float32)) > jnp.float32(2**30)
         counts = jnp.where(wrapped, jnp.int32(-1), counts)
         u_words = jnp.zeros((n_out, w), jnp.uint32).at[seg_id].set(
-            jnp.stack(s_lanes, axis=1), mode="drop")
+            s_words, mode="drop")
         u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(
             s_lengths, mode="drop")
 
-        # PAD rows sort strictly after every live row (PAD_LENGTH is the int32
-        # max and length is the leading sort key), so live rows are a prefix.
+        # PAD rows sort strictly after every live row (lex path: PAD_LENGTH
+        # is the int32 max and length is the leading sort key; hash path:
+        # PAD rows get the maximal hash and length breaks any tie with a
+        # live row that reaches it), so live rows are a prefix.
         # Count the groups of that prefix - robust even when dead rows carry
         # stale words and split into several trailing pad groups.
         live_count = jnp.sum(live.astype(jnp.int32))

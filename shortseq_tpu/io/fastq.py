@@ -15,8 +15,10 @@ Three consumers:
     pack kernel (for data that should arrive on device as ASCII).
   * read_fastq_seqs   -> list of ShortSeq objects (reference-compatible).
 
-Gzip input is detected by magic bytes and decompressed transparently
-(whole-file reads only; byte-range sharding needs random access).
+Gzip input is detected by magic bytes and decompressed transparently.
+Plain gzip allows whole-file reads only; BGZF (bgzip) files additionally
+support byte-range sharding on block boundaries (io/bgzf.py), so
+multi-shard/multi-host and streaming ingest work on compressed input.
 """
 
 from __future__ import annotations
@@ -79,10 +81,12 @@ def _read_range_synced(filename, lo: int, hi: int):
     import os
 
     if _is_gzip(filename):
+        # (BGZF files never reach here: callers route them through
+        # io.bgzf.read_range_synced, which shards on block boundaries.)
         raise ValueError(
-            "byte-range sharding needs random access; gzip streams have "
-            "none. Decompress the file once (or use bgzip externally) "
-            "before multi-shard/multi-host runs.")
+            "byte-range sharding needs random access; plain gzip streams "
+            "have none. Recompress with bgzip (BGZF blocks ARE shardable "
+            "here) or decompress once before multi-shard/multi-host runs.")
     if hi < lo:
         # An inverted range would make f.read(read_hi - base) negative,
         # i.e. read-to-EOF: the whole file tail instead of an error.
@@ -160,17 +164,31 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
     if byte_range is not None:
         # Ranged read: only this shard's bytes (+ sync margin) touch disk.
         lo, hi = byte_range
-        data, base = _read_range_synced(filename, lo, hi)
-        native = fastq_matrix_native(
-            data, pad_to=pad_to, byte_range=(lo - base, hi - base))
-        if native is not None:
-            return native
-        # Pure-Python fallback: same sync decisions as the native sharder
-        # (fastq_sync is its byte-for-byte twin), then the vectorized
-        # numpy parse on the synced slice.
-        s_lo = fastq_sync(data, lo - base)
-        s_hi = fastq_sync(data, hi - base)
-        data = data[s_lo:s_hi]
+        if _is_gzip(filename):
+            from .bgzf import is_bgzf, read_range_synced as bgzf_range
+
+            if not is_bgzf(filename):
+                raise ValueError(
+                    "byte-range sharding needs random access; plain gzip "
+                    "streams have none. Recompress with bgzip (BGZF "
+                    "blocks ARE shardable here) or decompress once "
+                    "before multi-shard/multi-host runs.")
+            data = bgzf_range(filename, lo, hi)  # pre-synced records
+            native = fastq_matrix_native(data, pad_to=pad_to)
+            if native is not None:
+                return native
+        else:
+            data, base = _read_range_synced(filename, lo, hi)
+            native = fastq_matrix_native(
+                data, pad_to=pad_to, byte_range=(lo - base, hi - base))
+            if native is not None:
+                return native
+            # Pure-Python fallback: same sync decisions as the native
+            # sharder (fastq_sync is its byte-for-byte twin), then the
+            # vectorized numpy parse on the synced slice.
+            s_lo = fastq_sync(data, lo - base)
+            s_hi = fastq_sync(data, hi - base)
+            data = data[s_lo:s_hi]
     else:
         data = _read_bytes(filename)
         native = fastq_matrix_native(data, pad_to=pad_to)
@@ -213,8 +231,20 @@ def read_fastq_index(filename, byte_range=None):
 
     if byte_range is not None:
         lo, hi = byte_range
-        data, base = _read_range_synced(filename, lo, hi)
-        rng = (lo - base, hi - base)
+        if _is_gzip(filename):
+            from .bgzf import is_bgzf, read_range_synced as bgzf_range
+
+            if not is_bgzf(filename):
+                raise ValueError(
+                    "byte-range sharding needs random access; plain gzip "
+                    "streams have none. Recompress with bgzip (BGZF "
+                    "blocks ARE shardable here) or decompress once "
+                    "before multi-shard/multi-host runs.")
+            # Pre-synced whole records: no further boundary work.
+            data, rng = bgzf_range(filename, lo, hi), None
+        else:
+            data, base = _read_range_synced(filename, lo, hi)
+            rng = (lo - base, hi - base)
     else:
         data, rng = _read_bytes(filename), None
     native = fastq_index_native(data, rng)

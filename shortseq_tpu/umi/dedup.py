@@ -648,6 +648,19 @@ def _length_buckets(lengths_all):
         yield int(lng), order[bounds[i]:bounds[i + 1]]
 
 
+def _flat_rows(norm, lengths_all):
+    """One C-level concatenation of a ragged bytes list + row offsets,
+    so each length bucket's matrix is ONE vectorized numpy gather
+    (flat[offsets[idx, None] + arange(lng)]) instead of a per-item
+    Python generator join - the joins were ~40% of the ragged grouping
+    stage at 10M reads (UMIREADS_r04 731k reads/s vs the uniform matrix
+    path's 1.25M)."""
+    flat = np.frombuffer(b"".join(norm), np.uint8)
+    offsets = np.zeros(len(norm) + 1, np.int64)
+    np.cumsum(lengths_all, out=offsets[1:])
+    return flat, offsets[:-1]
+
+
 def _dedup_umis_ragged(norm, lengths_all, method, threshold, block,
                        mesh=None):
     """Length-bucketed vectorized dedup_umis for ragged UMI lists (the
@@ -663,9 +676,9 @@ def _dedup_umis_ragged(norm, lengths_all, method, threshold, block,
     mats, counts_parts, first_parts, len_parts = [], [], [], []
     inverse_global = np.empty(n, np.int64)
     u_total = 0
+    flat, offsets = _flat_rows(norm, lengths_all)
     for lng, idx in _length_buckets(lengths_all):
-        mat = np.frombuffer(b"".join(norm[i] for i in idx),
-                            np.uint8).reshape(len(idx), lng)
+        mat = flat[offsets[idx, None] + np.arange(lng, dtype=np.int64)]
         res = _unique_rows(mat)
         if res is None:
             return None
@@ -758,9 +771,9 @@ def _dedup_reads_ragged(norm, lengths_all, len_5p, len_3p, method,
     inverse_global = np.empty(n, np.int64)
     gid_offset = 0
     u_total = 0
+    flat, offsets = _flat_rows(norm, lengths_all)
     for bi, (lng, idx) in enumerate(_length_buckets(lengths_all)):
-        mat = np.frombuffer(b"".join(norm[i] for i in idx),
-                            np.uint8).reshape(len(idx), lng)
+        mat = flat[offsets[idx, None] + np.arange(lng, dtype=np.int64)]
         res = _unique_rows(mat)
         if res is None:
             return None

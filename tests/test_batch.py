@@ -97,6 +97,40 @@ class TestPackedBatch:
             assert got == [s[start:start + length] for s in seqs], \
                 (start, length)
 
+    def test_trim_ragged_fuzz(self, rng):
+        # Per-row dynamic starts/lengths vs the string oracle, and the
+        # packed words must be CANONICAL (tail bits zero): re-packing the
+        # sliced strings must reproduce them bit-for-bit.
+        import numpy as np
+
+        from shortseq_tpu.batch import PackedBatch, pack_batch
+
+        seqs = [rand_sequence(rng, rng.randint(0, 200)) for _ in range(64)]
+        b = pack_batch(seqs)
+        for trial in range(6):
+            starts = np.array([rng.randint(0, 210) for _ in seqs], np.int32)
+            lengths = np.array([rng.randint(0, 210) for _ in seqs], np.int32)
+            t = b.trim_ragged(starts, lengths)
+            want = [s[st:st + ln] for s, st, ln in zip(seqs, starts, lengths)]
+            assert t.decode() == want, trial
+            canon = PackedBatch.from_seqs(want, width=b.width_lanes * 16)
+            assert np.array_equal(np.asarray(t.words),
+                                  np.asarray(canon.words)), trial
+            assert np.array_equal(np.asarray(t.lengths),
+                                  np.asarray(canon.lengths)), trial
+
+    def test_trim_ragged_scalar_broadcast_and_out_width(self, rng):
+        from shortseq_tpu.batch import pack_batch
+
+        seqs = [rand_sequence(rng, rng.randint(5, 60)) for _ in range(16)]
+        b = pack_batch(seqs)
+        # Scalar broadcast must agree with static trim.
+        assert b.trim_ragged(3, 12).decode() == b.trim(3, 12).decode()
+        # Narrow output width caps the kept length at 16 * out_w nt.
+        t = b.trim_ragged([1] * 16, [200] * 16, out_width_lanes=1)
+        assert t.width_lanes == 1
+        assert t.decode() == [s[1:1 + 200][:16] for s in seqs]
+
     def test_trim_rejects_negative(self):
         from shortseq_tpu.batch import pack_batch
 

@@ -107,6 +107,49 @@ class TestUniqueCount:
         got = {_decode_key(k): v for k, v in table.items()}
         assert got == dict(collections.Counter(seqs))
 
+    def test_mid_width_batch(self, rng):
+        # 6-lane (96-nt) bucket: first width class on the hash-prefix sort
+        # path (count/device._LEX_SORT_MAX_LANES).
+        from shortseq_tpu.count import count_batch
+
+        seqs = [rand_sequence(rng, rng.randint(33, 96)) for _ in range(40)]
+        seqs += seqs[::2]
+        words, lengths = _pack_batch(seqs, 6)
+        table = _table_to_dict(*count_batch(words, lengths))
+        got = {_decode_key(k): v for k, v in table.items()}
+        assert got == dict(collections.Counter(seqs))
+
+    def test_hash_collision_falls_back_exact(self, rng, monkeypatch):
+        # Degenerate hash (every row collides) must still count exactly:
+        # _sort_rows_hash flags the collision and unique_count's lax.cond
+        # reruns the lexicographic sort.  disable_jit so the patched
+        # _row_hash is seen (the jitted unique_count caches real traces).
+        import jax
+        import jax.numpy as jnp
+
+        from shortseq_tpu.count import device as D
+
+        def degenerate(words, lengths):
+            n = lengths.shape[0]
+            return (jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
+
+        monkeypatch.setattr(D, "_row_hash", degenerate)
+        seqs = [rand_sequence(rng, rng.randint(33, 96)) for _ in range(20)]
+        seqs += seqs[::2]
+        words, lengths = _pack_batch(seqs, 6)
+        with jax.disable_jit():
+            # Collision must actually be flagged with >= 2 distinct rows...
+            _, _, _, collision = D._sort_rows_hash(
+                jnp.asarray(words), jnp.asarray(lengths),
+                jnp.ones(len(seqs), jnp.int32))
+            assert bool(collision)
+            # ...and the full count must still be exact.
+            table = _table_to_dict(*D.unique_count(
+                jnp.asarray(words), jnp.asarray(lengths),
+                jnp.ones(len(seqs), jnp.int32)))
+        got = {_decode_key(k): v for k, v in table.items()}
+        assert got == dict(collections.Counter(seqs))
+
 
 class TestShardedCount:
     def test_matches_single_device(self, rng):

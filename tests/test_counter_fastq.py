@@ -182,6 +182,22 @@ class TestCountEngines:
         oracle = collections.Counter(reads)
         assert {str(k): v for k, v in counts.items()} == dict(oracle)
 
+    def test_device_engine_h2d_chunked_pipeline(self, tmp_path, rng,
+                                                monkeypatch):
+        """The overlapped-h2d path (4 fixed-shape chunks + associative
+        on-device merge; counter._h2d_chunks) must produce the identical
+        table.  The threshold is forced down so a small file exercises
+        it."""
+        from shortseq_tpu.api.counter import count_indexed_device
+        from shortseq_tpu.io.fastq import read_fastq_index
+
+        monkeypatch.setenv("SHORTSEQ_TPU_H2D_CHUNK_ROWS", "256")
+        path, reads = self._mixed_file(tmp_path, rng)
+        data, starts, lengths = read_fastq_index(str(path))
+        counts = count_indexed_device(data, starts, lengths)
+        assert {str(k): v for k, v in counts.items()} == \
+            dict(collections.Counter(reads))
+
     def test_fetch_table_prefix(self):
         """fetch_table returns exactly the live prefix, for n_unique around
         the 256 / power-of-two slice-bucket edges."""
