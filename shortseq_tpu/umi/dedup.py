@@ -447,21 +447,38 @@ def _fetch_row_sharded(x):
 
 
 def _components(neighbors):
-    """Connected components over sparse lists; returns root per node."""
+    """Connected components over sparse lists; returns each node's
+    component root = the component's MINIMUM node index (identical to the
+    previous seeded-BFS labels, whose first seed per component was its
+    lowest index).  Vectorized min-label propagation with pointer-jumping
+    path compression - O((U + E) log U) numpy array work instead of a
+    per-node Python walk (the walk was ~1 us/node + ~1 us/edge; at 10M
+    uniques that is seconds of pure interpreter time)."""
     u = len(neighbors)
-    labels = np.full(u, -1, np.int64)
-    for seed in range(u):
-        if labels[seed] >= 0:
-            continue
-        stack = [seed]
-        labels[seed] = seed
-        while stack:
-            node = stack.pop()
-            for nbr in neighbors[node]:
-                if labels[nbr] < 0:
-                    labels[nbr] = seed
-                    stack.append(nbr)
-    return labels
+    labels = np.arange(u, dtype=np.int64)
+    if u == 0:
+        return labels
+    deg = np.fromiter(map(len, neighbors), np.int64, u)
+    if int(deg.sum()) == 0:
+        return labels
+    src = np.repeat(np.arange(u, dtype=np.int64), deg)
+    dst = np.concatenate([np.asarray(x, np.int64)
+                          for x in neighbors if len(x)])
+    while True:
+        m = labels.copy()
+        # Pull phase: adjacency is symmetric (hamming; every edge appears
+        # in both rows' lists), so one directed pass reaches both ends.
+        np.minimum.at(m, src, labels[dst])
+        # Compression: m[i] <= i throughout (init arange + minimum), so
+        # m is a parent forest and jumping strictly descends.
+        while True:
+            mm = m[m]
+            if np.array_equal(mm, m):
+                break
+            m = mm
+        if np.array_equal(m, labels):
+            return labels
+        labels = m
 
 
 def _greedy_absorb(neighbors, counts, directional: bool):
