@@ -566,4 +566,46 @@ int64_t ssq_host_count_w(const uint32_t* words, const int32_t* lengths,
                          out_counts, nullptr, weights);
 }
 
+// Greedy count-ordered UMI collapse (umi/dedup._greedy_absorb, the
+// umi_tools adjacency/directional semantics): visit nodes in `order`
+// (descending count, ties by index); an unassigned node roots a cluster
+// and absorbs unassigned neighbours - direct only for adjacency
+// (directional == 0), or transitively through edges satisfying
+// count(u) >= 2 * count(v) - 1 for directional.  Inherently sequential
+// (a later root may not steal an earlier root's nodes), so the win over
+// the Python walk is pure interpreter overhead: ~1 us/edge -> ~10 ns.
+// Graph is CSR: indptr [u+1], indices [indptr[u]].
+void ssq_greedy_absorb(const int64_t* indptr, const int64_t* indices,
+                       const int64_t* counts, const int64_t* order,
+                       int64_t u, int32_t directional, int64_t* labels) {
+  for (int64_t i = 0; i < u; ++i) labels[i] = -1;
+  std::vector<int64_t> stack;
+  for (int64_t oi = 0; oi < u; ++oi) {
+    const int64_t root = order[oi];
+    if (labels[root] >= 0) continue;
+    labels[root] = root;
+    if (!directional) {
+      for (int64_t p = indptr[root]; p < indptr[root + 1]; ++p) {
+        const int64_t nbr = indices[p];
+        if (labels[nbr] < 0) labels[nbr] = root;
+      }
+      continue;
+    }
+    stack.clear();
+    stack.push_back(root);
+    while (!stack.empty()) {
+      const int64_t node = stack.back();
+      stack.pop_back();
+      const int64_t cn = counts[node];
+      for (int64_t p = indptr[node]; p < indptr[node + 1]; ++p) {
+        const int64_t nbr = indices[p];
+        if (labels[nbr] >= 0) continue;
+        if (cn < 2 * counts[nbr] - 1) continue;
+        labels[nbr] = root;
+        stack.push_back(nbr);
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -128,6 +128,9 @@ def get_lib():
         lib.ssq_host_count_w.restype = i64
         lib.ssq_host_count_w.argtypes = [p_u32, p_i32, p_i64, i64, i64,
                                          p_u32, p_i32, p_i64]
+        lib.ssq_greedy_absorb.restype = None
+        lib.ssq_greedy_absorb.argtypes = [p_i64, p_i64, p_i64, p_i64, i64,
+                                          i32, p_i64]
         _lib = lib
         return _lib
 
@@ -306,3 +309,26 @@ def host_count_weighted_native(words: np.ndarray, lengths: np.ndarray,
         _as_ptr(out_w, ctypes.c_uint32), _as_ptr(out_l, ctypes.c_int32),
         _as_ptr(out_c, ctypes.c_int64))
     return out_w[:m].copy(), out_l[:m].copy(), out_c[:m].copy()
+
+
+def greedy_absorb_native(indptr: np.ndarray, indices: np.ndarray,
+                         counts: np.ndarray, order: np.ndarray,
+                         directional: bool):
+    """Count-ordered greedy UMI collapse over a CSR adjacency (the exact
+    semantics of umi/dedup._greedy_absorb's Python walk, csrc
+    ssq_greedy_absorb).  Returns labels [U] int64, or None when the
+    native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    u = len(counts)
+    labels = np.empty(u, dtype=np.int64)
+    lib.ssq_greedy_absorb(
+        _as_ptr(indptr, ctypes.c_int64), _as_ptr(indices, ctypes.c_int64),
+        _as_ptr(counts, ctypes.c_int64), _as_ptr(order, ctypes.c_int64),
+        u, 1 if directional else 0, _as_ptr(labels, ctypes.c_int64))
+    return labels

@@ -446,6 +446,19 @@ def _fetch_row_sharded(x):
     return gather_row_sharded(x)
 
 
+def _edge_csr(neighbors):
+    """Sparse lists -> CSR (indptr [U+1] int64, indices [E] int64)."""
+    u = len(neighbors)
+    deg = np.fromiter(map(len, neighbors), np.int64, u)
+    indptr = np.zeros(u + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    if int(indptr[-1]) == 0:
+        return indptr, np.zeros(0, np.int64)
+    indices = np.concatenate([np.asarray(x, np.int64)
+                              for x in neighbors if len(x)])
+    return indptr, indices
+
+
 def _components(neighbors):
     """Connected components over sparse lists; returns each node's
     component root = the component's MINIMUM node index (identical to the
@@ -458,12 +471,10 @@ def _components(neighbors):
     labels = np.arange(u, dtype=np.int64)
     if u == 0:
         return labels
-    deg = np.fromiter(map(len, neighbors), np.int64, u)
-    if int(deg.sum()) == 0:
+    indptr, dst = _edge_csr(neighbors)
+    if len(dst) == 0:
         return labels
-    src = np.repeat(np.arange(u, dtype=np.int64), deg)
-    dst = np.concatenate([np.asarray(x, np.int64)
-                          for x in neighbors if len(x)])
+    src = np.repeat(np.arange(u, dtype=np.int64), np.diff(indptr))
     while True:
         m = labels.copy()
         # Pull phase: adjacency is symmetric (hamming; every edge appears
@@ -486,10 +497,24 @@ def _greedy_absorb(neighbors, counts, directional: bool):
     descending count; an unassigned node roots a cluster and absorbs
     unassigned neighbours (direct only for adjacency; BFS through
     count-ordered edges for directional, edge u->v iff
-    counts[u] >= 2 * counts[v] - 1)."""
+    counts[u] >= 2 * counts[v] - 1).
+
+    The walk is inherently sequential (a later root may not steal an
+    earlier root's nodes), so it runs in the native extension when built
+    (csrc ssq_greedy_absorb - same traversal, ~100x less per-edge
+    overhead); the Python loop below is its behavioural twin and the
+    fallback (tests/test_umi.py asserts they agree)."""
+    from ..io.native import greedy_absorb_native
+
     u = len(neighbors)
-    labels = np.full(u, -1, np.int64)
+    counts = np.asarray(counts, np.int64)
     order = np.argsort(-counts, kind="stable")
+    indptr, indices = _edge_csr(neighbors)
+    native = greedy_absorb_native(indptr, indices, counts, order,
+                                  directional)
+    if native is not None:
+        return native
+    labels = np.full(u, -1, np.int64)
     for root in order:
         if labels[root] >= 0:
             continue

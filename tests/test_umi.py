@@ -110,6 +110,65 @@ class TestDedup:
             assert adj[i, j] == (dist <= 1), (uniq[i], uniq[j])
 
 
+class TestCollapseKernels:
+    def test_greedy_absorb_native_matches_python(self, monkeypatch):
+        """The C collapse (csrc ssq_greedy_absorb) and its Python twin
+        must produce identical labels on random sparse symmetric graphs,
+        both methods, including count ties (stable order)."""
+        import shortseq_tpu.io.native as native_mod
+        from shortseq_tpu.umi import dedup as D
+
+        if native_mod.get_lib() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(5)
+        for trial in range(25):
+            u = int(rng.integers(2, 120))
+            nbrs = [set() for _ in range(u)]
+            for _ in range(int(rng.integers(0, 3 * u))):
+                a, b = rng.integers(0, u, size=2)
+                if a != b:
+                    nbrs[a].add(int(b))
+                    nbrs[b].add(int(a))
+            nbrs = [np.asarray(sorted(s), np.int64) for s in nbrs]
+            counts = rng.integers(1, 6, size=u).astype(np.int64)  # many ties
+            for directional in (False, True):
+                got_native = D._greedy_absorb(nbrs, counts, directional)
+                monkeypatch.setattr(native_mod, "greedy_absorb_native",
+                                    lambda *a: None)
+                got_py = D._greedy_absorb(nbrs, counts, directional)
+                monkeypatch.undo()
+                assert np.array_equal(got_native, got_py), \
+                    (trial, directional)
+
+    def test_components_matches_bfs_oracle(self):
+        """Vectorized label propagation vs a simple BFS oracle."""
+        from shortseq_tpu.umi import dedup as D
+
+        rng = np.random.default_rng(9)
+        for trial in range(25):
+            u = int(rng.integers(1, 150))
+            nbrs = [set() for _ in range(u)]
+            for _ in range(int(rng.integers(0, 2 * u))):
+                a, b = rng.integers(0, u, size=2)
+                if a != b:
+                    nbrs[a].add(int(b))
+                    nbrs[b].add(int(a))
+            nbrs = [np.asarray(sorted(s), np.int64) for s in nbrs]
+            want = np.full(u, -1, np.int64)
+            for seed in range(u):
+                if want[seed] >= 0:
+                    continue
+                stack = [seed]
+                want[seed] = seed
+                while stack:
+                    node = stack.pop()
+                    for nbr in nbrs[node]:
+                        if want[nbr] < 0:
+                            want[nbr] = seed
+                            stack.append(nbr)
+            assert np.array_equal(D._components(nbrs), want), trial
+
+
 class TestDedupReads:
     def test_groups_by_insert_then_clusters(self):
         from shortseq_tpu.umi import dedup_reads
