@@ -9,10 +9,10 @@ which is all dense vector work:
   1. group equal rows adjacently: narrow rows (<= _LEX_SORT_MAX_LANES
      lanes) by one multi-operand lexicographic `jax.lax.sort` over
      (length, lane_0, ..., lane_{W-1}); wide rows by a 64-bit row-hash
-     sort (4 operands + one row gather - the comparator cost stays flat
-     in W instead of the 65-operand sort the 1024-nt bucket would need),
-     with an exact lax.cond fallback to the lexicographic sort if two
-     distinct rows ever collide in the hash;
+     sort (4 sort operands + one row gather - the comparator cost stays
+     flat in W instead of the 65-operand sort the 1024-nt bucket would
+     need), exact via a seeded re-hash retry loop on the ~2^-17-rare
+     collision between distinct rows (_sort_rows_hash);
   2. segment boundaries: a row starts a new group iff any lane or the
      length differs from the previous row;
   3. per-group sums of the rows' weights via `jax.ops.segment_sum`.
@@ -39,10 +39,11 @@ PAD_LENGTH = jnp.iinfo(jnp.int32).max
 
 # Widest row (in uint32 lanes) that still sorts lexicographically with one
 # multi-operand lax.sort.  Beyond it the comparator cost grows with every
-# lane (the 1024-nt bucket is a 65-operand sort whose per-row cost scales
-# ~O(W)); wide rows take the hash-prefix sort below instead (measured on
-# the v5e: 64-lane unique_count 6.5x faster via the hash path; 2-lane is
-# ~15% faster lexicographically, benchmarks/scaling_decomposed.py).
+# lane (the 1024-nt bucket would be a 65-operand sort whose per-row cost
+# scales ~O(W)); wide rows take the hash-prefix sort below instead, which
+# also compiles much faster through a remote XLA service (w=6 measured:
+# 40 s vs 146 s lex; benchmarks/scaling_decomposed.py has the runtime
+# comparison per width).
 _LEX_SORT_MAX_LANES = 4
 
 
@@ -57,12 +58,13 @@ def _sort_rows_lex(words, lengths, weights):
             sorted_ops[-1])
 
 
-def _row_hash(words, lengths):
+def _row_hash(words, lengths, seed):
     """Two independent 32-bit mixes over a row's lanes + length (murmur-
-    style multiply/xor-shift rounds + fmix32 finalizer).  Equal rows hash
-    equal by construction; distinct rows collide in the combined 64 bits
-    with probability ~N^2 / 2^65 (~2^-17 at N = 16M) - and a collision
-    only costs the exact fallback sort, never wrong counts."""
+    style multiply/xor-shift rounds + fmix32 finalizer), parameterized by
+    a seed so the retry loop in _sort_rows_hash can draw a fresh hash
+    family.  Equal rows hash equal by construction; distinct rows collide
+    in the combined 64 bits with probability ~N^2 / 2^65 (~2^-17 at
+    N = 16M) per family."""
     def fmix(h):
         h = h ^ (h >> 16)
         h = h * jnp.uint32(0x85EBCA6B)
@@ -70,8 +72,9 @@ def _row_hash(words, lengths):
         h = h * jnp.uint32(0xC2B2AE35)
         return h ^ (h >> 16)
 
-    h1 = lengths.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-    h2 = (lengths.astype(jnp.uint32) + jnp.uint32(0x165667B1)) \
+    s = seed.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+    h1 = (lengths.astype(jnp.uint32) ^ s) * jnp.uint32(0x9E3779B1)
+    h2 = (lengths.astype(jnp.uint32) + s + jnp.uint32(0x165667B1)) \
         * jnp.uint32(0x85EBCA77)
     for j in range(words.shape[1]):
         x = words[:, j]
@@ -82,35 +85,69 @@ def _row_hash(words, lengths):
     return fmix(h1), fmix(h2)
 
 
+#: Hash families tried before the wide path declares the input adversarial
+#: and poisons the result (counts = -1 -> every materialization raises).
+#: Random data re-draws with probability ~2^-17 per family; 8 independent
+#: failures is ~2^-136 - unreachable except by inputs crafted against
+#: these exact constants, which then get a loud error, never bad counts.
+_HASH_MAX_TRIES = 8
+
+
 def _sort_rows_hash(words, lengths, weights):
     """Row grouping for WIDE rows: sort a 64-bit row hash (+ length + iota
-    payload; 4 operands regardless of W), then gather the rows through the
-    permutation.  Equal rows share a hash, so they land contiguous; the
-    epilogue's full-row compare draws the segment boundaries.
+    payload; 4 sort operands regardless of W), then gather the rows
+    through the permutation.  Equal rows share a hash, so they land
+    contiguous; the epilogue's full-row compare draws the segment
+    boundaries.
 
     The one hazard is two DISTINCT live rows sharing the 64-bit hash:
-    interleaved equal keys (A, B, A inside one equal-hash run) would split
-    a group.  Runs of equal (h1, h2) are contiguous after the sort, so any
-    such pair implies an ADJACENT pair that differs in content but not in
-    hash - detected below and returned as `collision`; unique_count then
-    reruns the exact lexicographic sort under lax.cond.  PAD rows are
-    forced to the maximal hash and carry the maximal length, so live rows
-    still form a prefix."""
+    interleaved equal keys (A, B, A inside one equal-hash run) would
+    split a group.  Runs of equal (h1, h2) are contiguous after the sort,
+    so any such pair implies an ADJACENT pair that differs in content but
+    not in hash - detected below, and the lax.while_loop simply re-draws
+    a fresh seeded hash family until no collision remains (expected
+    iterations 1 + 2^-17).  The loop body holds the ONLY sort in the
+    program: an earlier design instead fell back to the exact
+    lexicographic sort under lax.cond, and the two sort programs in one
+    conditional made XLA:TPU compile times explode (measured at w = 6,
+    [131072] rows, through the remote compile service: hash-only 40 s,
+    lex-only 146 s, cond carrying both > 2300 s - killed).  PAD rows are
+    forced to the maximal hash and carry the maximal length key, so live
+    rows still form a prefix.
+
+    Returns (s_lengths, s_words, s_weights, collision); collision is True
+    only if every hash family collided (see _HASH_MAX_TRIES - the caller
+    poisons the counts so nothing downstream can read a silently
+    mis-grouped table)."""
+    n, w = words.shape
     live = lengths != PAD_LENGTH
-    h1, h2 = _row_hash(words, lengths)
-    h1 = jnp.where(live, h1, jnp.uint32(0xFFFFFFFF))
-    h2 = jnp.where(live, h2, jnp.uint32(0xFFFFFFFF))
-    n = lengths.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    s_h1, s_h2, s_lengths, s_idx = jax.lax.sort(
-        (h1, h2, lengths, iota), num_keys=3)
-    s_words = jnp.take(words, s_idx, axis=0)
-    s_weights = jnp.take(weights, s_idx, axis=0)
-    row_differs = (s_lengths[1:] != s_lengths[:-1]) \
-        | jnp.any(s_words[1:] != s_words[:-1], axis=1)
-    hash_same = (s_h1[1:] == s_h1[:-1]) & (s_h2[1:] == s_h2[:-1])
-    both_live = (s_lengths[1:] != PAD_LENGTH) & (s_lengths[:-1] != PAD_LENGTH)
-    collision = jnp.any(row_differs & hash_same & both_live)
+
+    def body(state):
+        seed = state[0]
+        h1, h2 = _row_hash(words, lengths, seed)
+        h1 = jnp.where(live, h1, jnp.uint32(0xFFFFFFFF))
+        h2 = jnp.where(live, h2, jnp.uint32(0xFFFFFFFF))
+        s_h1, s_h2, s_lengths, s_idx = jax.lax.sort(
+            (h1, h2, lengths, iota), num_keys=3)
+        s_words = jnp.take(words, s_idx, axis=0)
+        s_weights = jnp.take(weights, s_idx, axis=0)
+        row_differs = (s_lengths[1:] != s_lengths[:-1]) \
+            | jnp.any(s_words[1:] != s_words[:-1], axis=1)
+        hash_same = (s_h1[1:] == s_h1[:-1]) & (s_h2[1:] == s_h2[:-1])
+        both_live = (s_lengths[1:] != PAD_LENGTH) \
+            & (s_lengths[:-1] != PAD_LENGTH)
+        collision = jnp.any(row_differs & hash_same & both_live)
+        return seed + 1, s_lengths, s_words, s_weights, collision
+
+    def cond(state):
+        return state[4] & (state[0] < _HASH_MAX_TRIES)
+
+    # collision=True in the init state makes the first body run
+    # unconditional; the init arrays are placeholders of the right shape.
+    init = (jnp.int32(0), lengths, words, weights, jnp.bool_(True))
+    _, s_lengths, s_words, s_weights, collision = jax.lax.while_loop(
+        cond, body, init)
     return s_lengths, s_words, s_weights, collision
 
 
@@ -144,22 +181,19 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
 
     # 1. Group equal rows adjacently.  Narrow rows: one multi-operand
     # lexicographic sort (length leads, so PAD rows group last; lanes
-    # compare as uint32).  Wide rows: hash-prefix sort (4 operands + a
-    # row gather instead of a W+1-operand comparator), with an exact
-    # lax.cond fallback to the lexicographic sort on the ~2^-17-rare
-    # 64-bit hash collision between distinct rows.
+    # compare as uint32).  Wide rows: hash-prefix sort (4 sort operands +
+    # a row gather instead of a W+1-operand comparator), exact via the
+    # seeded re-hash retry loop in _sort_rows_hash; `exhausted` is True
+    # only for inputs crafted to collide in every hash family, and those
+    # get poisoned counts below instead of a silently mis-grouped table.
+    exhausted = None
     with named_scope("ssq.unique_count"):
         if w <= _LEX_SORT_MAX_LANES:
             s_lengths, s_words, s_weights = _sort_rows_lex(
                 words, lengths, weights)
         else:
-            s_lengths, s_words, s_weights, collision = _sort_rows_hash(
+            s_lengths, s_words, s_weights, exhausted = _sort_rows_hash(
                 words, lengths, weights)
-            s_lengths, s_words, s_weights = jax.lax.cond(
-                collision,
-                lambda _: _sort_rows_lex(words, lengths, weights),
-                lambda _: (s_lengths, s_words, s_weights),
-                None)
 
         # 2. Segment boundaries: a row starts a group iff it differs from
         # its predecessor in length or any lane.
@@ -185,6 +219,12 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
             live_weights.astype(jnp.float32), seg_id, num_segments=n_out)
         wrapped = jnp.abs(counts_f - counts.astype(jnp.float32)) > jnp.float32(2**30)
         counts = jnp.where(wrapped, jnp.int32(-1), counts)
+        if exhausted is not None:
+            # Hash-family exhaustion (adversarial input): poison every
+            # live group so each materialization path raises (the same
+            # negative-count tripwire as the int32-wrap detection).
+            counts = jnp.where(exhausted & (counts > 0), jnp.int32(-1),
+                               counts)
         u_words = jnp.zeros((n_out, w), jnp.uint32).at[seg_id].set(
             s_words, mode="drop")
         u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(

@@ -119,17 +119,50 @@ class TestUniqueCount:
         got = {_decode_key(k): v for k, v in table.items()}
         assert got == dict(collections.Counter(seqs))
 
-    def test_hash_collision_falls_back_exact(self, rng, monkeypatch):
-        # Degenerate hash (every row collides) must still count exactly:
-        # _sort_rows_hash flags the collision and unique_count's lax.cond
-        # reruns the lexicographic sort.  disable_jit so the patched
-        # _row_hash is seen (the jitted unique_count caches real traces).
+    def test_hash_collision_retries_to_exact(self, rng, monkeypatch):
+        # A hash family that collides for the FIRST seed only: the retry
+        # loop must re-draw and the count must come out exact.
+        # disable_jit so the patched _row_hash is seen (the jitted
+        # unique_count caches real traces).
         import jax
         import jax.numpy as jnp
 
         from shortseq_tpu.count import device as D
 
-        def degenerate(words, lengths):
+        real = D._row_hash
+
+        def first_seed_collides(words, lengths, seed):
+            h1, h2 = real(words, lengths, seed)
+            dead = jnp.zeros_like(h1)
+            bad = (seed == 0)
+            return jnp.where(bad, dead, h1), jnp.where(bad, dead, h2)
+
+        monkeypatch.setattr(D, "_row_hash", first_seed_collides)
+        seqs = [rand_sequence(rng, rng.randint(33, 96)) for _ in range(20)]
+        seqs += seqs[::2]
+        words, lengths = _pack_batch(seqs, 6)
+        with jax.disable_jit():
+            s_l, s_w, s_wt, collision = D._sort_rows_hash(
+                jnp.asarray(words), jnp.asarray(lengths),
+                jnp.ones(len(seqs), jnp.int32))
+            assert not bool(collision)  # retry recovered
+            table = _table_to_dict(*D.unique_count(
+                jnp.asarray(words), jnp.asarray(lengths),
+                jnp.ones(len(seqs), jnp.int32)))
+        got = {_decode_key(k): v for k, v in table.items()}
+        assert got == dict(collections.Counter(seqs))
+
+    def test_hash_exhaustion_poisons_loudly(self, rng, monkeypatch):
+        # A degenerate hash that collides for EVERY seed (the adversarial
+        # worst case) must never yield a silently mis-grouped table: the
+        # counts come back poisoned and materialization raises.
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from shortseq_tpu.count import device as D
+
+        def degenerate(words, lengths, seed):
             n = lengths.shape[0]
             return (jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
 
@@ -138,17 +171,14 @@ class TestUniqueCount:
         seqs += seqs[::2]
         words, lengths = _pack_batch(seqs, 6)
         with jax.disable_jit():
-            # Collision must actually be flagged with >= 2 distinct rows...
             _, _, _, collision = D._sort_rows_hash(
                 jnp.asarray(words), jnp.asarray(lengths),
                 jnp.ones(len(seqs), jnp.int32))
-            assert bool(collision)
-            # ...and the full count must still be exact.
-            table = _table_to_dict(*D.unique_count(
-                jnp.asarray(words), jnp.asarray(lengths),
-                jnp.ones(len(seqs), jnp.int32)))
-        got = {_decode_key(k): v for k, v in table.items()}
-        assert got == dict(collections.Counter(seqs))
+            assert bool(collision)  # every family exhausted
+            out = D.unique_count(jnp.asarray(words), jnp.asarray(lengths),
+                                 jnp.ones(len(seqs), jnp.int32))
+            with pytest.raises(OverflowError):
+                _table_to_dict(*out)
 
 
 class TestShardedCount:
