@@ -29,6 +29,7 @@ def _rand_umis(u, length, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--u", type=int, default=100_000)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
@@ -102,7 +103,19 @@ def main():
     labels_u, rep_nodes = D._relabel(roots, counts)
     t["relabel_s"] = time.perf_counter() - t0
 
-    print(json.dumps(t))
+    # End-to-end wall for the same inputs (warm), so the phase sum can be
+    # checked against what dedup_umis actually costs.
+    from shortseq_tpu.umi import dedup_umis
+
+    dedup_umis(umis, threshold=1, method="directional")  # warm
+    t0 = time.perf_counter()
+    dedup_umis(umis, threshold=1, method="directional")
+    t["dedup_umis_warm_total_s"] = time.perf_counter() - t0
+
+    line = json.dumps(t)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line + "\n")
 
 
 if __name__ == "__main__":

@@ -38,13 +38,14 @@ import jax.numpy as jnp
 PAD_LENGTH = jnp.iinfo(jnp.int32).max
 
 # Widest row (in uint32 lanes) that still sorts lexicographically with one
-# multi-operand lax.sort.  Beyond it the comparator cost grows with every
-# lane (the 1024-nt bucket would be a 65-operand sort whose per-row cost
-# scales ~O(W)); wide rows take the hash-prefix sort below instead, which
-# also compiles much faster through a remote XLA service (w=6 measured:
-# 40 s vs 146 s lex; benchmarks/scaling_decomposed.py has the runtime
-# comparison per width).
-_LEX_SORT_MAX_LANES = 4
+# multi-operand lax.sort.  Measured on the v5e (SCALING_r05 widths): the
+# multi-operand comparator stays FASTER than the hash path's row gather
+# through w=6 (50.2 vs 31.4 M rows/s at w=2, 44.5 vs 24.6 at w=6), so the
+# 32/96-nt ladder classes sort lexicographically; at w=64 the 65-operand
+# sort's remote compile ran past 7200 s twice (killed - unmeasurable,
+# docs/ENVIRONMENT.md item 9) while the hash path compiles in ~40 s and
+# runs 15.6 M rows/s, so the 1024-nt class takes the hash-prefix sort.
+_LEX_SORT_MAX_LANES = 6
 
 
 def _sort_rows_lex(words, lengths, weights):

@@ -108,8 +108,8 @@ class TestUniqueCount:
         assert got == dict(collections.Counter(seqs))
 
     def test_mid_width_batch(self, rng):
-        # 6-lane (96-nt) bucket: first width class on the hash-prefix sort
-        # path (count/device._LEX_SORT_MAX_LANES).
+        # 6-lane (96-nt) bucket: the widest class still on the
+        # lexicographic path (count/device._LEX_SORT_MAX_LANES).
         from shortseq_tpu.count import count_batch
 
         seqs = [rand_sequence(rng, rng.randint(33, 96)) for _ in range(40)]
@@ -138,9 +138,11 @@ class TestUniqueCount:
             return jnp.where(bad, dead, h1), jnp.where(bad, dead, h2)
 
         monkeypatch.setattr(D, "_row_hash", first_seed_collides)
-        seqs = [rand_sequence(rng, rng.randint(33, 96)) for _ in range(20)]
+        # 8 lanes: just past _LEX_SORT_MAX_LANES so unique_count takes
+        # the hash path.
+        seqs = [rand_sequence(rng, rng.randint(97, 128)) for _ in range(20)]
         seqs += seqs[::2]
-        words, lengths = _pack_batch(seqs, 6)
+        words, lengths = _pack_batch(seqs, 8)
         with jax.disable_jit():
             s_l, s_w, s_wt, collision = D._sort_rows_hash(
                 jnp.asarray(words), jnp.asarray(lengths),
@@ -167,9 +169,9 @@ class TestUniqueCount:
             return (jnp.zeros(n, jnp.uint32), jnp.zeros(n, jnp.uint32))
 
         monkeypatch.setattr(D, "_row_hash", degenerate)
-        seqs = [rand_sequence(rng, rng.randint(33, 96)) for _ in range(20)]
+        seqs = [rand_sequence(rng, rng.randint(97, 128)) for _ in range(20)]
         seqs += seqs[::2]
-        words, lengths = _pack_batch(seqs, 6)
+        words, lengths = _pack_batch(seqs, 8)
         with jax.disable_jit():
             _, _, _, collision = D._sort_rows_hash(
                 jnp.asarray(words), jnp.asarray(lengths),
