@@ -16,9 +16,10 @@ compiled program (lax.fori_loop cycling over disjoint slices of a resident
 buffer, results folded into a loop-carried scalar so nothing is DCE'd),
 and the reported time is the SLOPE between a K_LO- and a K_HI-iteration
 dispatch - fixed costs (dispatch, transfers, loop setup) cancel exactly.
-min-per-K over interleaved rounds filters stalls.  Round 1 reported 17.5
-G nt/s for pack with absolute loop timing; the slope methodology shows
-that number was ~40% dispatch overhead even at K=16.
+the MEDIAN of per-round slopes filters both stalls and early returns
+(see slope_time).  Round 1 reported 17.5 G nt/s for pack with absolute
+loop timing; the slope methodology shows that number was ~40% dispatch
+overhead even at K=16.
 
 Also measured (in "extra"): device pack without validation, raw read-reduce
 roofline, row-wise hamming, all-pairs hamming over EVERY formulation
@@ -73,15 +74,22 @@ def _make_batch(n, width, seed=0):
 
 def slope_time(loop, args, rounds=5, k_lo=K_LO, k_hi=K_HI, name=None):
     """Per-iteration seconds: slope between k_lo- and k_hi-iteration
-    dispatches of `loop(*args, k)`, min-per-K over interleaved rounds.
+    dispatches of `loop(*args, k)`, MEDIAN of per-round slopes.
 
     k_hi must be large enough that the k_hi - k_lo work delta is >= ~5 ms,
     else the slope drowns in per-dispatch jitter (observed: a 6 MB/pass
     hamming bench at k_hi=40 "measured" 2.9x the HBM roofline).
 
-    With `name`, per-round slopes + the cold first dispatch (compile +
-    warmup) are recorded in RUN_STATS - the headline stays the min-based
-    slope, the stats expose the spread behind it."""
+    Median, not min (headline-protocol change, round 5): the previous
+    min-per-K aggregation took min(t_lo) and min(t_hi) from DIFFERENT
+    rounds, and one early-return t_hi under a stalled t_lo produced a
+    physically impossible headline (raw stream "1421 GB/s" against the
+    ~920 GB/s HBM roofline).  The median of per-round slopes is robust to
+    both stalls and early returns; per-round slopes + the cold first
+    dispatch (compile + warmup) are recorded in RUN_STATS with
+    median/min/max so the spread stays visible."""
+    import statistics
+
     k_span = k_hi - k_lo
     k_lo, k_hi = jnp.int32(k_lo), jnp.int32(k_hi)
     # Fetch-forced sync: on this tunneled runtime block_until_ready can
@@ -91,7 +99,6 @@ def slope_time(loop, args, rounds=5, k_lo=K_LO, k_hi=K_HI, name=None):
     t_cold0 = time.perf_counter()
     jax.device_get(loop(*args, k_hi))  # compile + warm
     cold_s = time.perf_counter() - t_cold0
-    t_lo = t_hi = float("inf")
     round_slopes = []
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -99,12 +106,10 @@ def slope_time(loop, args, rounds=5, k_lo=K_LO, k_hi=K_HI, name=None):
         t1 = time.perf_counter()
         jax.device_get(loop(*args, k_hi))
         t2 = time.perf_counter()
-        t_lo = min(t_lo, t1 - t0)
-        t_hi = min(t_hi, t2 - t1)
         round_slopes.append(((t2 - t1) - (t1 - t0)) / k_span)
     if name is not None:
         _record_stats(name, round_slopes, cold_s=cold_s)
-    return (t_hi - t_lo) / k_span
+    return statistics.median(round_slopes)
 
 
 def bench_pack(n=1 << 18, width=160, k0=8, pad_valid=True,
@@ -136,8 +141,10 @@ def bench_pack(n=1 << 18, width=160, k0=8, pad_valid=True,
                     ^ jnp.sum(ok).astype(jnp.uint32))
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
-    # 42 MB/pass: k_hi=104 keeps the slope's work delta ~4 GB >> jitter.
-    dt = slope_time(loop, (big, lengths_f), k_hi=104, name=stat_name)
+    # 42 MB/pass: k_hi=232 keeps the slope's work delta ~9.4 GB (~17 ms
+    # of kernel time) well above the relay's observed jitter (r05: a
+    # 7 ms delta still swung the headline 20% between sessions).
+    dt = slope_time(loop, (big, lengths_f), k_hi=232, name=stat_name)
     return n * width / dt
 
 
@@ -164,7 +171,7 @@ def bench_pack_only(n=1 << 18, width=160, k0=8):
             return acc ^ jnp.bitwise_xor.reduce(w.ravel())
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
-    dt = slope_time(loop, (big,), k_hi=104, name="pack_only_nt_per_s")
+    dt = slope_time(loop, (big,), k_hi=232, name="pack_only_nt_per_s")
     return n * width / dt
 
 
@@ -203,7 +210,11 @@ def bench_raw_stream(n=1 << 18, width=160, k0=8):
             return acc + jnp.sum(x, dtype=jnp.uint32)
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
-    dt = slope_time(loop, (big,), name="raw_stream_bytes_per_s")
+    # 42 MB/pass read-reduce runs ~46 us/iteration at the ~900 GB/s
+    # roofline: the default k_hi=40's ~1.5 ms work delta drowned in
+    # relay jitter (r05 measured a physically impossible 1.4-2.1 TB/s);
+    # k_hi=264 puts ~12 ms of kernel time in the span.
+    dt = slope_time(loop, (big,), k_hi=264, name="raw_stream_bytes_per_s")
     return n * w4 * 4 / dt
 
 
@@ -517,7 +528,8 @@ def emit_report(nt_per_s, extra, stats=None, stats_path=None):
     final JSON line, the line outgrew the driver's tail-capture window,
     and the round recorded no TPU number at all (BENCH_r03.json parsed:
     null; VERDICT r03 weak #1).  Stats entries are per-run SECONDS (invert
-    for rates); headline values remain min-based."""
+    for rates); slope-timed headline values are median-of-rounds, wall
+    benches report best-warm with the spread alongside."""
     stats = RUN_STATS if stats is None else stats
     if stats_path is None:
         stats_path = os.path.join(
