@@ -110,6 +110,39 @@ class TestBgzfSharding:
                 got.append(bytes(d[st:st + ln]).decode())
         assert got == reads
 
+    def test_empty_and_eof_only_files(self, tmp_path):
+        from shortseq_tpu.io.bgzf import is_bgzf
+        from shortseq_tpu.io.fastq import read_fastq_index
+
+        eof_only = tmp_path / "e.bgz"
+        eof_only.write_bytes(bgzf_block(b""))  # just the EOF marker
+        assert is_bgzf(str(eof_only))
+        d, starts, lengths = read_fastq_index(str(eof_only),
+                                              byte_range=(0, 28))
+        assert len(lengths) == 0
+
+    def test_boundary_on_exact_block_start(self, tmp_path, rng):
+        # A shard boundary placed exactly on a block header must assign
+        # that block to the RIGHT shard (first_block_at(pos) == pos).
+        from shortseq_tpu.io.bgzf import block_size_at
+        from shortseq_tpu.io.fastq import read_fastq_index
+
+        data, reads = _make_fastq_bytes(rng, n=120)
+        comp = bgzf_compress(data, block=512)
+        path = tmp_path / "b.bgz"
+        path.write_bytes(comp)
+        # Find the third block boundary.
+        off = 0
+        for _ in range(3):
+            off += block_size_at(comp, off)
+        got = []
+        for lo, hi in ((0, off), (off, len(comp))):
+            d, starts, lengths = read_fastq_index(str(path),
+                                                  byte_range=(lo, hi))
+            got.extend(bytes(d[s:s + l]).decode()
+                       for s, l in zip(starts, lengths))
+        assert got == reads
+
     def test_plain_gzip_still_refused(self, tmp_path, rng):
         import gzip
 

@@ -57,6 +57,20 @@ def test_count_sharded_pipeline(fastq, tmp_path, capsys):
     assert "sharded count: 3 shard" in capsys.readouterr().err
 
 
+def test_count_sharded_bgzf(fastq, tmp_path, capsys):
+    """`count --shards` on a .bgz file: the byte-range pipeline shards
+    compressed input on BGZF block boundaries (io/bgzf.py)."""
+    from tests.test_bgzf import bgzf_compress
+
+    path, reads = fastq
+    bgz = tmp_path / "cli.fastq.bgz"
+    bgz.write_bytes(bgzf_compress(path.read_bytes(), block=600))
+    out = tmp_path / "bgz.tsv"
+    assert main(["count", str(bgz), "--shards", "3", "-o", str(out)]) == 0
+    rows = [line.split("\t") for line in out.read_text().splitlines()]
+    assert {s: int(c) for s, c in rows} == dict(collections.Counter(reads))
+
+
 def test_count_checkpoint_resume(fastq, tmp_path, capsys):
     """--checkpoint spills per-shard tables; a rerun loads them instead
     of recounting (manifest-compatible resume), same table both times."""
