@@ -200,6 +200,43 @@ def _h2d_chunks(rows_pad: int) -> int:
     return 4
 
 
+def _put_lengths(sub_len):
+    """Ship per-row lengths to the device as int16 and widen there:
+    lengths are <= 1024 (and PAD_LENGTH maps to -1), so the int16 wire
+    format halves the lengths' share of h2d traffic - 2 of 10 bytes/read
+    at the 2-lane width class instead of 4 of 12 (the transfer is the
+    device engine's dominant cost through a thin link; PROFILE10M_r05).
+    """
+    import jax
+    import numpy as np
+
+    from ..count.device import PAD_LENGTH
+
+    l16 = np.where(np.asarray(sub_len) == PAD_LENGTH, -1,
+                   sub_len).astype(np.int16)
+    return _widen_lengths()(jax.device_put(l16))
+
+
+_WIDEN = None
+
+
+def _widen_lengths():
+    global _WIDEN
+    if _WIDEN is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..count.device import PAD_LENGTH
+
+        @jax.jit
+        def widen(l16):
+            l = l16.astype(jnp.int32)
+            return jnp.where(l < 0, jnp.int32(PAD_LENGTH), l)
+
+        _WIDEN = widen
+    return _WIDEN
+
+
 def count_indexed_device_table(data, starts, lengths,
                                batch_size: int | None = None):
     """Count indexed FASTQ rows (io.fastq.read_fastq_index output) on
@@ -268,7 +305,7 @@ def count_indexed_device_table(data, starts, lengths,
         n_chunks = _h2d_chunks(rows_pad)
         if n_chunks == 1:
             dw = jax.device_put(words)
-            dl = jax.device_put(sub_len)
+            dl = _put_lengths(sub_len)
             tables.append(unique_count(dw, dl,
                                        jnp.ones(dw.shape[0], jnp.int32)))
             continue
@@ -286,7 +323,7 @@ def count_indexed_device_table(data, starts, lengths,
         parts_t = []
         for i in range(n_chunks):
             dw = jax.device_put(words[i * c:(i + 1) * c])
-            dl = jax.device_put(sub_len[i * c:(i + 1) * c])
+            dl = _put_lengths(sub_len[i * c:(i + 1) * c])
             parts_t.append(unique_count(dw, dl, jnp.ones(c, jnp.int32)))
         tables.append(unique_count(
             jnp.concatenate([t[0] for t in parts_t]),
