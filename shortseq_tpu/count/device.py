@@ -208,6 +208,14 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
         # so the duplicate scatter writes below are deterministic.
         live = s_lengths != PAD_LENGTH
         live_weights = jnp.where(live, s_weights, 0)
+        # Poison closure: counts re-enter unique_count as WEIGHTS in every
+        # device-side merge (chunked ingest, checkpoint merges, the
+        # pre-dedup exchange tier, the all_gather merge).  A -1-poisoned
+        # count from an upstream table (int32 wrap or hash-family
+        # exhaustion) must therefore poison THIS result too - summing it
+        # as an ordinary weight would land positive-but-wrong and no
+        # materialization would ever raise.
+        in_poison = jnp.any(live_weights < 0)
         counts = jax.ops.segment_sum(live_weights, seg_id, num_segments=n_out)
         # int32 wrap detection (device ints are 32-bit; jax_enable_x64 is off).
         # A wrap that lands negative is caught by the host-side min() < 0 check;
@@ -220,12 +228,14 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
             live_weights.astype(jnp.float32), seg_id, num_segments=n_out)
         wrapped = jnp.abs(counts_f - counts.astype(jnp.float32)) > jnp.float32(2**30)
         counts = jnp.where(wrapped, jnp.int32(-1), counts)
-        if exhausted is not None:
-            # Hash-family exhaustion (adversarial input): poison every
-            # live group so each materialization path raises (the same
-            # negative-count tripwire as the int32-wrap detection).
-            counts = jnp.where(exhausted & (counts > 0), jnp.int32(-1),
-                               counts)
+        # Whole-table poison: hash-family exhaustion (adversarial input)
+        # or poisoned input weights.  Applied to every LIVE group in the
+        # final normalization below - unconditionally, so even a group
+        # whose weights cancelled to zero cannot read as clean - making
+        # each materialization path raise (the same negative-count
+        # tripwire as the per-group int32-wrap detection).
+        poison_all = in_poison if exhausted is None \
+            else (exhausted | in_poison)
         u_words = jnp.zeros((n_out, w), jnp.uint32).at[seg_id].set(
             s_words, mode="drop")
         u_lengths = jnp.full((n_out,), PAD_LENGTH, jnp.int32).at[seg_id].set(
@@ -244,7 +254,8 @@ def unique_count(words: jax.Array, lengths: jax.Array, weights: jax.Array,
             0).astype(jnp.int32)
         # Normalize the pad group's slot so padding is canonical.
         u_lengths = jnp.where(jnp.arange(n_out) < n_unique, u_lengths, PAD_LENGTH)
-        counts = jnp.where(jnp.arange(n_out) < n_unique, counts, 0)
+        counts = jnp.where(jnp.arange(n_out) < n_unique,
+                           jnp.where(poison_all, jnp.int32(-1), counts), 0)
     return u_words, u_lengths, counts, n_unique
 
 

@@ -150,12 +150,21 @@ def read_range_synced(filename, lo: int, hi: int) -> bytes:
     with open(filename, "rb") as f:
         b_lo = first_block_at(f, lo, fsize)
         b_hi = first_block_at(f, max(hi, b_lo), fsize)
+        # Seed byte for the record-sync scan: the last DECOMPRESSED byte
+        # before this shard's blocks.  A spec-legal BGZF stream may
+        # contain interior empty blocks (a writer flushing an empty
+        # buffer, concatenated .bgz files with interior EOF markers), so
+        # walk back block by block until one yields content; reaching the
+        # file start with nothing decompressed means this shard begins at
+        # decompressed offset 0 - a true record start.
         prefix = b""
-        if 0 < b_lo < fsize:
-            p = _prev_block(f, b_lo, fsize)
+        cur = b_lo
+        while 0 < cur < fsize and not prefix:
+            p = _prev_block(f, cur, fsize)
             f.seek(p)
-            prev = _decompress(f.read(b_lo - p))
+            prev = _decompress(f.read(cur - p))
             prefix = prev[-1:]
+            cur = p
         f.seek(b_lo)
         dec_own = _decompress(f.read(b_hi - b_lo))
         off0 = len(prefix)
@@ -173,6 +182,10 @@ def read_range_synced(filename, lo: int, hi: int) -> bytes:
             m_at = m_end
             if m_end >= fsize or fastq_sync(data, off_hi) < len(data):
                 break
-    s_lo = fastq_sync(data, off0) if b_lo > 0 else 0
+    # An empty prefix after the walk-back means everything before b_lo
+    # decompresses to nothing: the shard starts at decompressed offset 0,
+    # which IS a record boundary (matching what the zero-record previous
+    # shards concluded).
+    s_lo = fastq_sync(data, off0) if prefix else 0
     s_hi = fastq_sync(data, off_hi) if b_hi < fsize else len(data)
     return data[s_lo:s_hi]

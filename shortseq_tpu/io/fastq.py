@@ -66,6 +66,23 @@ def _advise_sequential(f) -> None:
 _SYNC_MARGIN = 1 << 20
 
 
+_GZIP_SHARD_MSG = (
+    "byte-range sharding needs random access; plain gzip streams have "
+    "none. Recompress with bgzip (BGZF blocks ARE shardable here) or "
+    "decompress once before multi-shard/multi-host runs.")
+
+
+def _bgzf_range_or_raise(filename, lo: int, hi: int) -> bytes:
+    """Shared gzip-input routing for the ranged readers: BGZF files
+    return the shard's pre-synced whole records (io.bgzf), plain gzip
+    raises the one canonical message."""
+    from .bgzf import is_bgzf, read_range_synced
+
+    if not is_bgzf(filename):
+        raise ValueError(_GZIP_SHARD_MSG)
+    return read_range_synced(filename, lo, hi)
+
+
 def _read_range_synced(filename, lo: int, hi: int):
     """Read only the bytes needed for the records starting in [lo, hi):
     [lo-1, hi + margin), so each host's IO is proportional to its shard,
@@ -82,11 +99,8 @@ def _read_range_synced(filename, lo: int, hi: int):
 
     if _is_gzip(filename):
         # (BGZF files never reach here: callers route them through
-        # io.bgzf.read_range_synced, which shards on block boundaries.)
-        raise ValueError(
-            "byte-range sharding needs random access; plain gzip streams "
-            "have none. Recompress with bgzip (BGZF blocks ARE shardable "
-            "here) or decompress once before multi-shard/multi-host runs.")
+        # _bgzf_range_or_raise, which shards on block boundaries.)
+        raise ValueError(_GZIP_SHARD_MSG)
     if hi < lo:
         # An inverted range would make f.read(read_hi - base) negative,
         # i.e. read-to-EOF: the whole file tail instead of an error.
@@ -165,15 +179,7 @@ def read_fastq_matrix(filename, pad_to: int = 16, byte_range=None):
         # Ranged read: only this shard's bytes (+ sync margin) touch disk.
         lo, hi = byte_range
         if _is_gzip(filename):
-            from .bgzf import is_bgzf, read_range_synced as bgzf_range
-
-            if not is_bgzf(filename):
-                raise ValueError(
-                    "byte-range sharding needs random access; plain gzip "
-                    "streams have none. Recompress with bgzip (BGZF "
-                    "blocks ARE shardable here) or decompress once "
-                    "before multi-shard/multi-host runs.")
-            data = bgzf_range(filename, lo, hi)  # pre-synced records
+            data = _bgzf_range_or_raise(filename, lo, hi)  # synced records
             native = fastq_matrix_native(data, pad_to=pad_to)
             if native is not None:
                 return native
@@ -232,16 +238,8 @@ def read_fastq_index(filename, byte_range=None):
     if byte_range is not None:
         lo, hi = byte_range
         if _is_gzip(filename):
-            from .bgzf import is_bgzf, read_range_synced as bgzf_range
-
-            if not is_bgzf(filename):
-                raise ValueError(
-                    "byte-range sharding needs random access; plain gzip "
-                    "streams have none. Recompress with bgzip (BGZF "
-                    "blocks ARE shardable here) or decompress once "
-                    "before multi-shard/multi-host runs.")
             # Pre-synced whole records: no further boundary work.
-            data, rng = bgzf_range(filename, lo, hi), None
+            data, rng = _bgzf_range_or_raise(filename, lo, hi), None
         else:
             data, base = _read_range_synced(filename, lo, hi)
             rng = (lo - base, hi - base)

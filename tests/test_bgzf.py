@@ -143,6 +143,56 @@ class TestBgzfSharding:
                        for s, l in zip(starts, lengths))
         assert got == reads
 
+    def test_interior_empty_block_boundary(self, tmp_path, rng):
+        # Spec-legal BGZF may hold interior EMPTY blocks (flushed empty
+        # buffers, concatenated files with interior EOF markers).  A
+        # shard whose first block follows an empty block mid-record must
+        # walk back past it for its sync seed byte - otherwise it would
+        # declare a false record boundary and duplicate the straddling
+        # record.
+        from shortseq_tpu.io.bgzf import block_size_at
+        from shortseq_tpu.io.fastq import read_fastq_index
+
+        data, reads = _make_fastq_bytes(rng, n=60)
+        # Split so an empty block lands mid-record: cut NOT on a record
+        # boundary (83 is deliberately unaligned).
+        payloads = [data[:500], data[500:583], b"", data[583:]]
+        comp = b"".join(bgzf_block(p) for p in payloads) + bgzf_block(b"")
+        path = tmp_path / "empty_mid.bgz"
+        path.write_bytes(comp)
+        # Byte offset of the empty interior block.
+        off = 0
+        for p in payloads[:2]:
+            off += block_size_at(comp, off)
+        # lo inside the empty block -> b_lo = the block AFTER it, whose
+        # decompressed start is mid-record.
+        lo = off + 1
+        got = []
+        for byte_range in ((0, lo), (lo, len(comp))):
+            d, starts, lengths = read_fastq_index(str(path),
+                                                  byte_range=byte_range)
+            got.extend(bytes(d[s:s + l]).decode()
+                       for s, l in zip(starts, lengths))
+        assert got == reads
+
+    def test_all_leading_blocks_empty(self, tmp_path, rng):
+        # Every block before the shard decompresses to nothing: the
+        # shard starts at decompressed offset 0, a true record start.
+        from shortseq_tpu.io.bgzf import block_size_at
+        from shortseq_tpu.io.fastq import read_fastq_index
+
+        data, reads = _make_fastq_bytes(rng, n=20)
+        comp = (bgzf_block(b"") + bgzf_block(b"")
+                + bgzf_block(data) + bgzf_block(b""))
+        path = tmp_path / "lead_empty.bgz"
+        path.write_bytes(comp)
+        lo = block_size_at(comp, 0) + 1  # inside the second empty block
+        d, starts, lengths = read_fastq_index(str(path),
+                                              byte_range=(lo, len(comp)))
+        got = [bytes(d[s:s + l]).decode()
+               for s, l in zip(starts, lengths)]
+        assert got == reads
+
     def test_plain_gzip_still_refused(self, tmp_path, rng):
         import gzip
 

@@ -154,6 +154,29 @@ class TestUniqueCount:
         got = {_decode_key(k): v for k, v in table.items()}
         assert got == dict(collections.Counter(seqs))
 
+    def test_poison_closed_under_merge(self):
+        # Counts re-enter unique_count as WEIGHTS in every device-side
+        # merge (chunked ingest, pre-dedup exchange, all_gather merge):
+        # a -1-poisoned input count must poison the merged table too,
+        # never sum away into a positive wrong count - including when
+        # weights cancel to zero.
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from shortseq_tpu.count import unique_count
+        from shortseq_tpu.count.device import counts_to_host
+
+        words = jnp.asarray(np.array([[1, 0], [1, 0], [2, 0], [3, 0]],
+                                     np.uint32))
+        lengths = jnp.full(4, 16, jnp.int32)
+        for weights in ([5, -1, 2, 2],    # poison sums positive: 5-1=4
+                        [1, -1, 2, 2]):   # poison cancels to exactly 0
+            out = unique_count(words, lengths,
+                               jnp.asarray(weights, jnp.int32))
+            with pytest.raises(OverflowError):
+                counts_to_host(*out)
+
     def test_hash_exhaustion_poisons_loudly(self, rng, monkeypatch):
         # A degenerate hash that collides for EVERY seed (the adversarial
         # worst case) must never yield a silently mis-grouped table: the
