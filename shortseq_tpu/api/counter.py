@@ -12,6 +12,7 @@ materializes from.
 
 from __future__ import annotations
 
+import functools
 import time
 
 
@@ -187,14 +188,17 @@ def count_matrix_device(mat, lengths) -> ShortSeqCounter:
 H2D_CHUNK_MIN_ROWS = 1 << 21
 
 
-def _h2d_chunks(rows_pad: int) -> int:
+def _env_int(name: str, default: int) -> int:
     import os
 
     try:
-        min_rows = int(os.environ.get("SHORTSEQ_TPU_H2D_CHUNK_ROWS",
-                                      H2D_CHUNK_MIN_ROWS))
+        return int(os.environ.get(name, default))
     except ValueError:
-        min_rows = H2D_CHUNK_MIN_ROWS
+        return default
+
+
+def _h2d_chunks(rows_pad: int) -> int:
+    min_rows = _env_int("SHORTSEQ_TPU_H2D_CHUNK_ROWS", H2D_CHUNK_MIN_ROWS)
     if min_rows <= 0 or rows_pad < min_rows or rows_pad % 4:
         return 1
     return 4
@@ -217,24 +221,19 @@ def _put_lengths(sub_len):
     return _widen_lengths()(jax.device_put(l16))
 
 
-_WIDEN = None
-
-
+@functools.lru_cache(maxsize=None)
 def _widen_lengths():
-    global _WIDEN
-    if _WIDEN is None:
-        import jax
-        import jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
 
-        from ..count.device import PAD_LENGTH
+    from ..count.device import PAD_LENGTH
 
-        @jax.jit
-        def widen(l16):
-            l = l16.astype(jnp.int32)
-            return jnp.where(l < 0, jnp.int32(PAD_LENGTH), l)
+    @jax.jit
+    def widen(l16):
+        l = l16.astype(jnp.int32)
+        return jnp.where(l < 0, jnp.int32(PAD_LENGTH), l)
 
-        _WIDEN = widen
-    return _WIDEN
+    return widen
 
 
 def count_indexed_device_table(data, starts, lengths,
@@ -413,13 +412,7 @@ DEFAULT_STREAM_BYTES = 1 << 30
 
 
 def _stream_bytes() -> int:
-    import os
-
-    try:
-        return int(os.environ.get("SHORTSEQ_TPU_STREAM_BYTES",
-                                  DEFAULT_STREAM_BYTES))
-    except ValueError:
-        return DEFAULT_STREAM_BYTES
+    return _env_int("SHORTSEQ_TPU_STREAM_BYTES", DEFAULT_STREAM_BYTES)
 
 
 def _read_and_count_table(filename, engine: str):

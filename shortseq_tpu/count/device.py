@@ -120,7 +120,7 @@ def _sort_rows_hash(words, lengths, weights):
     only if every hash family collided (see _HASH_MAX_TRIES - the caller
     poisons the counts so nothing downstream can read a silently
     mis-grouped table)."""
-    n, w = words.shape
+    n = lengths.shape[0]
     live = lengths != PAD_LENGTH
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
 

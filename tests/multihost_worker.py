@@ -36,13 +36,16 @@ def main():
     # merged table is mesh-SHARDED (bucketed production merge,
     # layout="scattered"), so materialization exercises the
     # multi-controller addressable-shards + process_allgather path.
+    def _agg(table):
+        out = {}
+        for (length, blocks), count in table_to_host_rows(table):
+            seq = decode_blocks(blocks, length)
+            out[seq] = out.get(seq, 0) + count
+        return out
+
     table = read_and_count_fastq_distributed(fastq, n_shards=2 * n_procs + 1)
     assert table.layout == "scattered", table.layout
-    rows = table_to_host_rows(table)
-    result = {}
-    for (length, blocks), count in rows:
-        seq = decode_blocks(blocks, length)
-        result[seq] = result.get(seq, 0) + count
+    result = _agg(table)
     n_u = table.n_unique
     assert len(result) == int(n_u), (len(result), int(n_u))
 
@@ -80,24 +83,14 @@ def main():
     cfg = PipelineConfig(checkpoint_dir=ckpt_dir)
     t_ck = read_and_count_fastq_distributed(fastq, n_shards=n_shards,
                                             config=cfg)
-    rows_ck = table_to_host_rows(t_ck)
-    result_ck = {}
-    for (length, blocks), count in rows_ck:
-        seq = decode_blocks(blocks, length)
-        result_ck[seq] = result_ck.get(seq, 0) + count
-    assert result_ck == result
+    assert _agg(t_ck) == result
     mine = set(range(pid, n_shards, n_procs))
     assert completed_shards(ckpt_dir, pid) >= mine, \
         (completed_shards(ckpt_dir, pid), mine)
     # Resume: all shards complete -> the second pass only loads + merges.
     t_rs = read_and_count_fastq_distributed(fastq, n_shards=n_shards,
                                             config=cfg)
-    rows_rs = table_to_host_rows(t_rs)
-    result_rs = {}
-    for (length, blocks), count in rows_rs:
-        seq = decode_blocks(blocks, length)
-        result_rs[seq] = result_rs.get(seq, 0) + count
-    assert result_rs == result
+    assert _agg(t_rs) == result
 
     # Multi-host UMI dedup (BASELINE config 5): the sharded adjacency runs
     # over the same global mesh across these real process boundaries and
